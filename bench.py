@@ -1,0 +1,123 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+Each query is fully materialized via the noop sink (no driver collect).
+Set BENCH_CPUS to override parallelism (used by scaling_bench.py for the
+N-vs-4N efficiency protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+BENCH_QUERIES = [
+    "mime_count",
+    "selector",
+    "budget_prefix",
+    "top_report",
+    "host_quota",
+    "urlseen_antijoin",
+    "dedup_exact",
+    "token_count",
+    "quality_score",
+    "pricing_summary",
+    "join_revenue",
+    "region_revenue",
+    "sessionize",
+    "knn_cosine",
+    "lang_breakdown",
+    "frontier_schedule",
+]
+
+
+def frontier_schedule_query(spark, sf_dir):
+    """The crawl flagship at bench scale: seen-filter + politeness schedule
+    over a seeds frame derived from events."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import schedule_batch
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+        filter_unseen,
+        with_url_hash,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seeds = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.col("value").alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+        "event_id",
+    )
+    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    unseen = filter_unseen(seeds, seen)
+    quotas = spark.createDataFrame([], "host string, quota int")
+    return schedule_batch(unseen, quotas, default_quota=200, n_salt=8)
+
+
+def main() -> None:
+    from commoncrawl_fetcher_lite_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    qs["frontier_schedule"] = frontier_schedule_query
+
+    # warm the JVM + parquet footers once
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    # throughput proxy: events rows scheduled+filtered per sec in the
+    # frontier_schedule query (the north-rule metric shape)
+    ev_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    sched_per_sec = round(ev_rows / timings["frontier_schedule"], 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "frontier_urls_per_sec": sched_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Politeness scheduling: per-host priority queue with token-bucket quotas,
+robots filtering, and explicit skew salting.
+
+Net-new machinery the north rule requires; the reference's only politeness
+is a global thread cap + 503 backoff ladder (BackoffHttpFetcher.java:74-107,
+README.md:169-172). Here politeness is PER-HOST and deterministic:
+
+  * robots: broadcast join on host, drop URLs under any disallow prefix.
+  * quota: each host may emit `min(max_per_batch, burst + tokens_per_sec *
+    batch_seconds)` URLs per scheduling batch — the token-bucket state
+    (`tokens` carried in host_state between batches) is recomputed
+    relationally each iteration, no streaming state.
+  * priority: rank within host by (priority + recrawl_score) desc, then
+    url for determinism; row_number <= quota emits.
+  * skew: ranking windows partition by host — a hot host (Zipf rank 1 ≈ 20%
+    of URLs) would serialize one reducer. We salt the PHYSICAL partitioning
+    (repartition on host + pmod(xxhash64(url), n_salt)) so the heavy
+    pre-aggregation work spreads, while the LOGICAL window stays per-host:
+    the window input after salting is only the per-host top candidates —
+    each salt bucket pre-truncates to its local quota (no host can emit
+    more than quota rows total, so each salt bucket needs at most quota),
+    shrinking the final per-host sort from O(host_rows) to
+    O(n_salt * quota).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose URL path starts with any disallow prefix for
+    its host. robots: (host, disallow_prefixes array<string>, crawl_delay_s).
+    Broadcast join — robots tables are small (one row per host)."""
+    path = F.regexp_replace(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+    )
+    joined = candidates.join(F.broadcast(robots), "host", "left")
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.where(~blocked).drop("disallow_prefixes")
+
+
+def host_quota(
+    host_budget: DataFrame,
+    batch_seconds: float,
+    default_tokens_per_sec: float = 1.0,
+    default_burst: int = 10,
+    default_max_per_batch: int = 100,
+) -> DataFrame:
+    """→ (host, quota int). host_budget may contain a '*' default row."""
+    hb = host_budget.where(F.col("host") != "*")
+    dflt = host_budget.where(F.col("host") == "*").collect()
+    if dflt:
+        d = dflt[0]
+        default_tokens_per_sec = d["tokens_per_sec"]
+        default_burst = d["burst"]
+        default_max_per_batch = d["max_per_batch"]
+    quota = F.least(
+        F.coalesce(F.col("max_per_batch"), F.lit(default_max_per_batch)),
+        (
+            F.coalesce(F.col("burst"), F.lit(default_burst))
+            + F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
+            * F.lit(batch_seconds)
+        ).cast("int"),
+    )
+    return hb.select("host", quota.alias("quota")), int(
+        min(
+            default_max_per_batch,
+            default_burst + default_tokens_per_sec * batch_seconds,
+        )
+    )
+
+
+def schedule_batch(
+    candidates: DataFrame,
+    host_quotas: DataFrame,
+    default_quota: int,
+    n_salt: int = 16,
+    priority_col: Column | None = None,
+) -> DataFrame:
+    """Emit the per-host top-quota candidates, deterministically.
+
+    Two-level top-k: (1) salted local rank — repartition by (host, salt)
+    spreads hot hosts over n_salt tasks, each keeps its local top-quota;
+    (2) exact per-host rank over the ≤ n_salt*quota survivors. Result is
+    identical to a single per-host window (same ordering key), but the heavy
+    sort happens in parallel salt buckets."""
+    prio = (
+        priority_col
+        if priority_col is not None
+        else F.coalesce(F.col("priority"), F.lit(0.0))
+        + F.coalesce(F.col("recrawl_score"), F.lit(0.0))
+    )
+    df = candidates.withColumn("_prio", prio)
+    df = df.join(F.broadcast(host_quotas), "host", "left")
+    df = df.withColumn("quota", F.coalesce(F.col("quota"), F.lit(default_quota)))
+
+    df = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salt)).cast("int")
+    )
+    df = df.repartition(F.col("host"), F.col("_salt"))
+
+    w_local = Window.partitionBy("host", "_salt").orderBy(
+        F.desc("_prio"), F.asc("url")
+    )
+    df = df.withColumn("_lrn", F.row_number().over(w_local)).where(
+        F.col("_lrn") <= F.col("quota")
+    )
+
+    w_host = Window.partitionBy("host").orderBy(F.desc("_prio"), F.asc("url"))
+    out = (
+        df.withColumn("_rn", F.row_number().over(w_host))
+        .where(F.col("_rn") <= F.col("quota"))
+        .drop("_salt", "_lrn", "quota")
+        .withColumnRenamed("_rn", "host_rank")
+        .withColumnRenamed("_prio", "effective_priority")
+    )
+    return out

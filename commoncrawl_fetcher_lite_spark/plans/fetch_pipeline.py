@@ -1,0 +1,116 @@
+"""The Fetch pipeline — engine equivalent of the reference's main entry
+(extractor/CCFileExtractor.java, SURVEY §3.1).
+
+seeds → scan cdx .gz → parse → select (compiled Column) → budget prefix →
+  ├─ truncated branch → `truncated` log table
+  └─ extract branch → (dryRun? log only : range-fetch + decode) →
+       `extracted` table + `docs` (interleaved spans) table
+
+Everything before the fetch UDF is pure Catalyst: the selector predicate
+runs against the text scan, so at 100 TB only the selected minority ever
+reaches Python. Metrics are collected via observe() — the engine analog of
+the reference's AtomicLong counters (CCIndexReaderCounter.java:22-25).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.config import ExtractorConfig
+from commoncrawl_fetcher_lite_spark.operators.budgets import apply_budgets
+from commoncrawl_fetcher_lite_spark.operators.selector import compile_selector
+from commoncrawl_fetcher_lite_spark.sources.cdx import (
+    expand_index_paths,
+    parse_cdx,
+    read_cdx_lines,
+)
+from commoncrawl_fetcher_lite_spark.sources.warc import extract_payloads
+
+
+@dataclass
+class FetchResult:
+    extracted: DataFrame | None  # None in dry-run
+    truncated_logged: DataFrame
+    would_extract: DataFrame  # extract-branch rows (pre-fetch; = dryRun log)
+    docs: DataFrame | None  # interleaved span docs (None in dry-run)
+    metrics: dict
+
+
+def run_fetch(
+    spark: SparkSession,
+    cfg: ExtractorConfig,
+    path_resolver: Callable[[str], str] | None = None,
+) -> FetchResult:
+    paths = expand_index_paths(list(cfg.index_paths), cfg.max_index_files)
+    lines = read_cdx_lines(spark, paths)
+
+    # exact per-file non-blank line counts for budget offsets (cheap agg:
+    # one row per index file)
+    per_file_lines = {
+        r["index_file_seq"]: r["n"]
+        for r in lines.groupBy("index_file_seq").agg(F.count("*").alias("n")).collect()
+    } if _has_budget(cfg) else None
+
+    records = parse_cdx(lines)
+    sel = compile_selector(cfg.selector, seed=cfg.sample_seed)
+
+    budgeted = apply_budgets(
+        records,
+        sel,
+        max_records=cfg.max_records,
+        max_files_extracted=cfg.max_files_extracted,
+        max_files_truncated=cfg.max_files_truncated,
+        extract_truncated=cfg.extract_truncated,
+        per_file_lines=per_file_lines,
+    )
+
+    # truncated-log branch (CCFileExtractorRecordProcessor.java:101-110):
+    # url + normalized mimes + warc coords. Mimes normalized as the
+    # reference logs getNormalizedMime[Detected].
+    from commoncrawl_fetcher_lite_spark.functions.urls import normalize_mime
+
+    truncated_logged = budgeted.where(F.col("is_trunc_log_branch")).select(
+        "url",
+        normalize_mime(F.col("mime")).alias("mime"),
+        normalize_mime(F.col("mime_detected")).alias("mime_detected"),
+        F.col("filename").alias("warc_file"),
+        F.col("offset").alias("warc_offset"),
+        F.col("length").alias("warc_length"),
+        "truncated",
+        "index_file_seq",
+        "line_no",
+    )
+
+    would_extract = budgeted.where(F.col("is_extract_branch")).select(
+        "url", "mime", "mime_detected", "status", "digest", "length",
+        "offset", "filename", "truncated", "index_file_seq", "line_no",
+    )
+
+    metrics: dict = {}
+    if cfg.dry_run:
+        return FetchResult(None, truncated_logged, would_extract, None, metrics)
+
+    assert path_resolver is not None, "non-dry-run needs a path_resolver"
+    fetched = extract_payloads(
+        would_extract,
+        path_resolver,
+        target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
+    )
+    # F13: empty payloads are counted then skipped
+    extracted = fetched.where(~F.col("empty_payload"))
+    docs = extracted.select(F.col("url").alias("doc_id"), "spans")
+    return FetchResult(extracted, truncated_logged, would_extract, docs, metrics)
+
+
+def _has_budget(cfg: ExtractorConfig) -> bool:
+    from commoncrawl_fetcher_lite_spark.config import LONG_MAX
+
+    return (
+        cfg.max_records < LONG_MAX
+        or cfg.max_files_extracted < LONG_MAX
+        or cfg.max_files_truncated < LONG_MAX
+    )

@@ -1,0 +1,174 @@
+"""End-to-end Fetch pipeline parity vs the pure-Python oracle on the
+synthetic fixture: crawl order, selected sets, budget cutoffs, extraction
+output and per-row span-sequence equality (the north-rule invariant)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from commoncrawl_fetcher_lite_spark.config import ExtractorConfig, from_json_dict
+from commoncrawl_fetcher_lite_spark.fixtures import warc_local_path
+from commoncrawl_fetcher_lite_spark.plans.fetch_pipeline import run_fetch
+from commoncrawl_fetcher_lite_spark.sources.cdx import (
+    expand_index_paths,
+    read_cdx_records,
+)
+from tests import oracle
+
+SELECTOR = {
+    "must": {"status": [{"match": "200"}]},
+    "should": {
+        "mime_detected": [
+            {"match": "text/html"},
+            {"match": "video/mp4"},
+            {"match": "application/pdf"},
+        ]
+    },
+}
+
+
+def _oracle_files(fx) -> list[list[str]]:
+    return [fx.lines_per_file[p] for p in fx.index_paths]
+
+
+def test_expand_index_paths(fixture_t1):
+    fx = fixture_t1
+    paths = expand_index_paths([fx.paths_gz])
+    # comment + non-.gz line skipped, order preserved
+    assert paths == fx.index_paths
+    assert expand_index_paths([fx.paths_gz], max_index_files=2) == fx.index_paths[:2]
+
+
+def test_parse_parity(spark, fixture_t1):
+    """Engine parse (P1-P3) row set == oracle parse over the same lines."""
+    fx = fixture_t1
+    recs = read_cdx_records(spark, fx.index_paths)
+    got = {
+        (r["index_file_seq"], r["line_no"]): (r["url"], r["mime_detected"], r["status"])
+        for r in recs.collect()
+    }
+    want = {}
+    for seq, lines in enumerate(_oracle_files(fx)):
+        line_no = -1
+        for raw in lines:
+            if raw.strip() == "":
+                continue
+            line_no += 1
+            rec = oracle.parse_record(raw)
+            if rec is None:
+                continue
+            want[(seq, line_no)] = (
+                rec["url"],
+                rec["mime-detected"],
+                int(rec["status"]) if rec["status"] is not None else None,
+            )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "budgets",
+    [
+        dict(),
+        dict(max_records=500),
+        dict(max_files_extracted=120),
+        dict(max_files_truncated=12),
+        dict(max_records=700, max_files_extracted=150, max_files_truncated=20),
+        dict(max_files_extracted=150, extract_truncated=True),
+    ],
+)
+def test_fetch_dry_run_parity(spark, fixture_t1, budgets):
+    """Dry-run: selected sets + budget cutoffs in canonical order match the
+    serial oracle replay exactly."""
+    fx = fixture_t1
+    extract_truncated = budgets.pop("extract_truncated", False)
+    cfg = ExtractorConfig(
+        index_paths=(fx.paths_gz,),
+        selector=SELECTOR,
+        dry_run=True,
+        extract_truncated=extract_truncated,
+        **{k: v for k, v in budgets.items()},
+    )
+    res = run_fetch(spark, cfg)
+    got_extract = {
+        (r["index_file_seq"], r["line_no"])
+        for r in res.would_extract.select("index_file_seq", "line_no").collect()
+    }
+    got_trunc = {
+        (r["index_file_seq"], r["line_no"])
+        for r in res.truncated_logged.select("index_file_seq", "line_no").collect()
+    }
+
+    ores = oracle.process_stream(
+        _oracle_files(fx),
+        selector=SELECTOR,
+        extract_truncated=extract_truncated,
+        **{k: v for k, v in budgets.items()},
+    )
+    want_extract = {(s, ln) for s, ln, _ in ores.extract_branch}
+    want_trunc = {(s, ln) for s, ln, _ in ores.trunc_logged}
+    assert got_extract == want_extract
+    assert got_trunc == want_trunc
+
+
+def test_extraction_and_span_parity(spark, fixture_t1):
+    """Full (non-dry) run: extracted rows, digest verification, target
+    paths, and per-row span sequences equal the oracle's."""
+    fx = fixture_t1
+    cfg = ExtractorConfig(
+        index_paths=(fx.paths_gz,),
+        selector=SELECTOR,
+        target_path_pattern="xx/xx/xxx",
+    )
+    res = run_fetch(
+        spark, cfg, path_resolver=lambda f: warc_local_path(fx.root, f)
+    )
+    got = {
+        r["url"]: (
+            r["sha256"],
+            r["digest_ok"],
+            r["path"],
+            tuple(
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in r["spans"]
+            ),
+        )
+        for r in res.extracted.collect()
+    }
+
+    # oracle replay
+    ores = oracle.process_stream(_oracle_files(fx), selector=SELECTOR)
+    warc_bytes = {}
+    want = {}
+    for _, _, rec in ores.extract_branch:
+        f = rec["filename"]
+        if f not in warc_bytes:
+            with open(warc_local_path(fx.root, f), "rb") as fh:
+                warc_bytes[f] = fh.read()
+        doc = oracle.extract_doc(rec, warc_bytes[f], "xx/xx/xxx")
+        if doc is None:
+            continue  # empty payload / unprocessable — engine must skip too
+        want[rec["url"]] = (
+            doc["sha256"],
+            doc["digest_ok"],
+            doc["path"],
+            tuple(doc["spans"]),
+        )
+
+    assert set(got) == set(want)
+    mismatches = {u: (got[u], want[u]) for u in got if got[u] != want[u]}
+    assert not mismatches, f"{len(mismatches)} mismatched docs: {list(mismatches)[:3]}"
+
+
+def test_docs_table_shape(spark, fixture_t1):
+    """docs output conforms to BASELINE.json input_hint exactly."""
+    fx = fixture_t1
+    cfg = ExtractorConfig(index_paths=(fx.paths_gz,), selector=SELECTOR)
+    res = run_fetch(spark, cfg, path_resolver=lambda f: warc_local_path(fx.root, f))
+    assert res.docs.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>>"
+    )
+    assert res.docs.count() > 0
