@@ -1,0 +1,152 @@
+"""The frontier loop: iterative batch crawl scheduling over snapshots.
+
+Each iteration (SURVEY §2.12 — iterative batch over snapshot-committed
+state, not streaming state):
+
+    frontier ──(robots filter)──(URL-seen anti-join)──(politeness window)──▶ batch
+    batch ──(fetch+extract mapInPandas)──▶ docs, extracted
+    state updates: urlseen += batch urls, frontier -= batch (+ redirects
+    discovered), host_state tokens debited
+    all outputs committed as ONE snapshot → crash-resume re-runs the
+    iteration deterministically from the previous snapshot.
+
+The reference has no analog (restart = refetch the world); this is the
+net-new north-rule machinery. Politeness/priority semantics live in
+politeness.py; seen semantics in urlseen.py; this module is the
+composition + commit protocol.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+    apply_robots,
+    host_quota,
+    schedule_batch,
+)
+from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+    filter_unseen,
+    with_url_hash,
+)
+
+
+@dataclass
+class IterationResult:
+    snapshot: int
+    n_scheduled: int
+    n_seen_total: int
+    n_frontier_left: int
+
+
+def bootstrap(
+    store: SnapshotStore,
+    seeds: DataFrame,
+    robots: DataFrame | None = None,
+) -> int:
+    """Snapshot 0: initial frontier = deduped seeds; empty seen set."""
+    spark = store.spark
+    frontier = with_url_hash(seeds).dropDuplicates(["url_hash", "url"])
+    seen = spark.createDataFrame([], "url_hash long, url string")
+    tables = {"frontier": frontier, "urlseen": seen}
+    if robots is not None:
+        tables["robots"] = robots
+    return store.commit(tables, metrics={"phase": "bootstrap"})
+
+
+def run_iteration(
+    store: SnapshotStore,
+    cfg: FrontierConfig,
+    batch_seconds: float = 60.0,
+    host_budget: DataFrame | None = None,
+    fetch_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> IterationResult:
+    """One frontier iteration reading ONLY the current snapshot, committing
+    exactly one new snapshot. Deterministic: same input snapshot → same
+    output snapshot (fetch_fn must be deterministic too; tests use the
+    fixture WARC store)."""
+    spark = store.spark
+    frontier = store.read("frontier")
+    seen = store.read("urlseen")
+    robots = store.read("robots") if store.exists("robots") else None
+
+    candidates = frontier
+    if robots is not None:
+        candidates = apply_robots(candidates, robots)
+
+    candidates = filter_unseen(candidates, seen)
+
+    if host_budget is not None:
+        quotas, default_quota = host_quota(
+            host_budget,
+            batch_seconds,
+            cfg.default_tokens_per_sec,
+            cfg.default_burst,
+            cfg.default_max_per_batch,
+        )
+    else:
+        quotas = spark.createDataFrame([], "host string, quota int")
+        default_quota = int(
+            min(
+                cfg.default_max_per_batch,
+                cfg.default_burst + cfg.default_tokens_per_sec * batch_seconds,
+            )
+        )
+
+    batch = schedule_batch(candidates, quotas, default_quota, n_salt=cfg.n_salt)
+
+    fetched = fetch_fn(batch) if fetch_fn is not None else batch
+
+    # state updates — all pure DataFrame ops over snapshot inputs
+    batch_urls = batch.select("url_hash", "url")
+    new_seen = seen.unionByName(batch_urls).dropDuplicates(["url_hash"])
+    new_frontier = frontier.join(
+        batch_urls.select("url_hash"), "url_hash", "left_anti"
+    )
+
+    tables = {
+        "frontier": new_frontier,
+        "urlseen": new_seen,
+        "batch": batch_urls,
+    }
+    if fetch_fn is not None:
+        tables["fetched"] = fetched
+    carry = ["robots"] if robots is not None else []
+
+    n_sched = batch.count()
+    n_seen = new_seen.count()
+    n_left = new_frontier.count()
+    snap = store.commit(
+        tables,
+        metrics={
+            "scheduled": n_sched,
+            "seen_total": n_seen,
+            "frontier_left": n_left,
+        },
+        carry_forward=carry,
+    )
+    return IterationResult(snap, n_sched, n_seen, n_left)
+
+
+def run(
+    store: SnapshotStore,
+    cfg: FrontierConfig,
+    iterations: int,
+    **kw,
+) -> list[IterationResult]:
+    """Run up to `iterations` more iterations from the CURRENT snapshot —
+    i.e. calling run() again after a crash continues where the manifest
+    points (resume-from-checkpoint)."""
+    out = []
+    for _ in range(iterations):
+        res = run_iteration(store, cfg, **kw)
+        out.append(res)
+        if res.n_scheduled == 0:
+            break
+    return out

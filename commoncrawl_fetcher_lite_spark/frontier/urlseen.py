@@ -3,24 +3,41 @@
 North-rule scale target is a 10^10-entry seen set. Design:
 
   * exact truth: `urlseen` table (url_hash bigint, url string), hash-
-    partitioned/bucketed by url_hash. At 10^10 rows × ~90 B this is ~1 TB of
-    parquet — fine for a cluster, queried only via hash-bucketed anti-join.
-  * fast path: per-partition Bloom filter blocks built with Spark's native
-    `bloom_filter_agg` (SQL, Spark 3.3+), stored as (block_id, bitmap).
-    Probing uses `might_contain`: definite-negatives skip the anti-join
-    entirely; only filter-positives (fpp ≈ 1%) hit the exact table.
-    This reproduces the emitter's onExists=skip dedup
-    (ExtractorConfig.java:276) relationally, and makes it exact — the
-    reference's skip is per-object-store-key, racy across workers.
+    partitioned by url_hash. At 10^10 rows × ~90 B this is ~1 TB of parquet
+    — fine for a cluster, queried only via hash-bucketed anti-join.
+  * fast path: Bloom bitmap(s) built DISTRIBUTEDLY — each partition ORs its
+    rows into a local numpy bitmap inside `mapInPandas` (Arrow-batched, no
+    per-row Python), the driver ORs the per-partition bitmaps (m/8 bytes
+    each). At 10^10 scale the single bitmap becomes per-block bitmaps keyed
+    by pmod(url_hash, n_blocks) — same code per block, bitmaps stay
+    ~1-2 GiB/block and live in an Iceberg `urlseen_filter` table.
+  * probing: broadcast bitmap + vectorized numpy bit-test in a pandas UDF;
+    definite-negatives skip the exact anti-join, filter-positives (~fpp)
+    take it. bloom+exact ≡ exact (tested) — the Bloom is only a gate.
 
-The Bloom path is an OPTIMIZATION gate in front of the exact anti-join; the
-anti-join alone is always correct (tests assert bloom+exact ≡ exact).
+Hashing: k positions via Kirsch-Mitzenmacher double hashing over the 64-bit
+url_hash (h1 = url_hash, h2 = splitmix64(url_hash)), so build and probe
+share one cheap, portable scheme; url_hash itself is Spark's xxhash64 of
+the canonicalized URL (JVM-side).
+
+This reproduces the emitter's onExists=skip dedup (ExtractorConfig.java:276)
+relationally — and makes it exact, where the reference's per-key skip is
+racy across workers.
+
+Spark's own bloom_filter_agg/might_contain are not SQL-registered in this
+build (internal, runtime-filter only), hence the numpy path.
 """
 
 from __future__ import annotations
 
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from commoncrawl_fetcher_lite_spark.functions.urls import url_hash
 
@@ -29,19 +46,80 @@ def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("url_hash", url_hash(F.col(url_col)))
 
 
-def build_bloom(seen: DataFrame, expected: int = 1_000_000, fpp: float = 0.01):
-    """Aggregate the seen-set's url_hash into one Bloom bitmap (driver-held
-    bytes). At 10^10 scale this becomes per-bucket blocks: groupBy(pmod(
-    url_hash, n_blocks)) + bloom_filter_agg per block, kept as a table and
-    joined on the same pmod — the code path is identical, block count 1 here
-    because local test sets are small."""
-    row = seen.select(
-        F.expr(
-            f"bloom_filter_agg(url_hash, cast({expected} as long), "
-            f"cast({int(expected * 10)} as long))"
-        ).alias("bloom")
-    ).collect()[0]
-    return row["bloom"]
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def bloom_params(expected: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, k) for expected items at fpp; m rounded to 64."""
+    m = int(-expected * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / expected * math.log(2)))
+    return m, k
+
+
+def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing."""
+    h1 = hashes.astype(np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd → full period
+    j = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(seen: DataFrame, expected: int = 1_000_000, fpp: float = 0.01) -> bytes:
+    """Distributed Bloom build: per-partition numpy bitmaps OR-reduced on
+    the driver. Returns m_bits/k header + bitmap bytes."""
+    m, k = bloom_params(expected, fpp)
+    n_words = m // 64
+
+    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            any_rows = True
+            pos = _positions(pdf["url_hash"].to_numpy(np.int64), m, k).ravel()
+            np.bitwise_or.at(
+                bitmap, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    parts = seen.select("url_hash").mapInPandas(
+        build_part, schema=T.StructType([T.StructField("bm", T.BinaryType())])
+    )
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for row in parts.collect():
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint64)
+    header = np.array([m, k], dtype=np.int64).tobytes()
+    return header + bitmap.tobytes()
+
+
+def _probe_expr(bloom: bytes):
+    """Vectorized pandas-UDF probe over url_hash → bool maybe_seen."""
+    header = np.frombuffer(bloom[:16], dtype=np.int64)
+    m, k = int(header[0]), int(header[1])
+    bitmap = np.frombuffer(bloom[16:], dtype=np.uint64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def probe(hashes: pd.Series) -> pd.Series:
+        h = hashes.to_numpy(np.int64)
+        pos = _positions(h, m, k)
+        words = bitmap[pos // 64]
+        bits = (words >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return probe
 
 
 def filter_unseen(
@@ -54,17 +132,13 @@ def filter_unseen(
 
     Both sides join on url_hash (bigint) — at scale the anti-join shuffles
     8-byte keys, not URL strings; the exact table is bucketed by the same
-    key so the join is co-partitioned."""
-    cand = with_url_hash(candidates, url_col)
+    key so the join co-partitions."""
+    cand = candidates
+    if "url_hash" not in cand.columns:
+        cand = with_url_hash(cand, url_col)
     if bloom is not None:
-        spark = candidates.sparkSession
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        bloom_df = spark.createDataFrame([(bytearray(bloom),)], "bloom binary")
-        cand = (
-            cand.crossJoin(F.broadcast(bloom_df))
-            .withColumn("maybe_seen", F.expr("might_contain(bloom, url_hash)"))
-            .drop("bloom")
-        )
+        probe = _probe_expr(bloom)
+        cand = cand.withColumn("maybe_seen", probe(F.col("url_hash")))
         negatives = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
         positives = cand.where(F.col("maybe_seen")).drop("maybe_seen")
         checked = positives.join(
@@ -74,6 +148,10 @@ def filter_unseen(
     return cand.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
 
 
-def update_seen(seen: DataFrame, newly_fetched: DataFrame, url_col: str = "url") -> DataFrame:
+def update_seen(
+    seen: DataFrame, newly_fetched: DataFrame, url_col: str = "url"
+) -> DataFrame:
     add = with_url_hash(newly_fetched.select(F.col(url_col).alias("url")))
-    return seen.unionByName(add.select("url_hash", "url")).dropDuplicates(["url_hash", "url"])
+    return seen.unionByName(add.select("url_hash", "url")).dropDuplicates(
+        ["url_hash", "url"]
+    )

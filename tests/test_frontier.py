@@ -1,0 +1,147 @@
+"""Frontier tests: URL-seen exactness (bloom ≡ exact), politeness quotas,
+robots, salting equivalence, checkpoint/resume determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+    apply_robots,
+    schedule_batch,
+)
+from commoncrawl_fetcher_lite_spark.frontier.scheduler import bootstrap, run
+from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+    build_bloom,
+    filter_unseen,
+    with_url_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def seeds_df(spark, fixture_t1):
+    return spark.read.parquet(f"{fixture_t1.root}/seeds.parquet")
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark, fixture_t1):
+    return spark.read.parquet(f"{fixture_t1.root}/robots.parquet")
+
+
+def test_urlseen_bloom_equals_exact(spark, seeds_df):
+    seen = with_url_hash(seeds_df.limit(3000).select("url").distinct())
+    cands = seeds_df.select("url", "host").distinct()
+    exact = {
+        r["url"] for r in filter_unseen(cands, seen).select("url").collect()
+    }
+    bloom = build_bloom(seen, expected=10_000)
+    with_bloom = {
+        r["url"]
+        for r in filter_unseen(cands, seen, bloom=bloom).select("url").collect()
+    }
+    assert with_bloom == exact
+    # sanity: the filter actually removed things
+    assert len(exact) < cands.count()
+
+
+def test_schedule_quota_respected(spark, seeds_df):
+    quotas = spark.createDataFrame(
+        [("host000.example.com", 3)], "host string, quota int"
+    )
+    batch = schedule_batch(
+        seeds_df.dropDuplicates(["url"]), quotas, default_quota=7, n_salt=4
+    )
+    counts = {
+        r["host"]: r["n"]
+        for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("host000.example.com", 0) <= 3
+    assert all(
+        n <= 7 for h, n in counts.items() if h != "host000.example.com"
+    )
+
+
+def test_schedule_salting_equivalence(spark, seeds_df):
+    """The two-level salted top-k must equal a plain per-host window."""
+    from pyspark.sql import Window
+
+    df = seeds_df.dropDuplicates(["url"])
+    quotas = spark.createDataFrame([], "host string, quota int")
+    salted = schedule_batch(df, quotas, default_quota=5, n_salt=8)
+    got = {(r["host"], r["url"]) for r in salted.select("host", "url").collect()}
+
+    prio = F.coalesce(F.col("priority"), F.lit(0.0)) + F.coalesce(
+        F.col("recrawl_score"), F.lit(0.0)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("_p"), F.asc("url"))
+    want = {
+        (r["host"], r["url"])
+        for r in df.withColumn("_p", prio)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("host", "url")
+        .collect()
+    }
+    assert got == want
+
+
+def test_robots_filter(spark, robots_df):
+    cands = spark.createDataFrame(
+        [
+            ("https://host001.example.com/private/x", "host001.example.com"),
+            ("https://host001.example.com/public/x", "host001.example.com"),
+        ],
+        "url string, host string",
+    )
+    # give host001 a disallow on /private/
+    robots = spark.createDataFrame(
+        [("host001.example.com", ["/private/"], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    out = {r["url"] for r in apply_robots(cands, robots).select("url").collect()}
+    assert out == {"https://host001.example.com/public/x"}
+
+
+def test_frontier_loop_and_resume(spark, seeds_df, robots_df, tmp_path):
+    """3-iteration run ≡ (2 iterations, new store handle, 1 more) — the
+    crash/resume contract: state lives in the snapshot manifest only."""
+    cfg = FrontierConfig(n_salt=4, default_max_per_batch=500)
+    seeds = seeds_df.limit(2000)
+
+    store_a = SnapshotStore(str(tmp_path / "a"), spark)
+    bootstrap(store_a, seeds, robots_df)
+    run(store_a, cfg, 3, batch_seconds=60.0)
+
+    store_b = SnapshotStore(str(tmp_path / "b"), spark)
+    bootstrap(store_b, seeds, robots_df)
+    run(store_b, cfg, 2, batch_seconds=60.0)
+    # simulate process death: fresh store handle over the same root
+    store_b2 = SnapshotStore(str(tmp_path / "b"), spark)
+    assert store_b2.current_snapshot() == 2
+    run(store_b2, cfg, 1, batch_seconds=60.0)
+
+    for table in ("urlseen", "frontier"):
+        a = {
+            tuple(r) for r in store_a.read(table).select("url_hash", "url").collect()
+        }
+        b = {
+            tuple(r) for r in store_b2.read(table).select("url_hash", "url").collect()
+        }
+        assert a == b, f"{table} diverged after resume"
+
+    # seen set grows monotonically; scheduled batches are disjoint
+    b1 = {r["url"] for r in store_a.read_at("batch", 1).collect()}
+    b2 = {r["url"] for r in store_a.read_at("batch", 2).collect()}
+    b3 = {r["url"] for r in store_a.read_at("batch", 3).collect()}
+    assert b1 and b2
+    assert not (b1 & b2) and not (b2 & b3) and not (b1 & b3)
+
+    # per-partition lineage + metrics recorded in the manifest
+    man = store_a.manifest()
+    meta = man["snapshots"]["1"]
+    assert meta["metrics"]["scheduled"] == len(b1)
+    assert all(
+        isinstance(t["lineage"], list) for t in meta["tables"].values()
+    )
