@@ -287,6 +287,82 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (dedup baseline)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over the embeddings table."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (scale path): banded bucket join +
+    exact Jaccard verify. Non-SQL-expressible (xxhash64 signatures) —
+    rows-only driver check; pytest asserts candidates ⊇ true pairs."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, bands=32, num_perm=64)
+    return verify_jaccard(cand, docs, threshold=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs (rows-only check)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k ANN (scale path; rows-only check —
+    pytest measures recall vs the brute-force baseline)."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return lsh_topk(q, emb, k=3, n_planes=4, n_rotations=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style md5 fingerprints per document."""
+    from commoncrawl_fetcher_lite_spark.operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax)."""
+    from commoncrawl_fetcher_lite_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token count estimate per document."""
+    from commoncrawl_fetcher_lite_spark.operators.text import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language/source breakdown with avg doc length (pivot-style)."""
     docs = _t(spark, sf_dir, "documents")
@@ -354,6 +430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "knn_cosine": q_knn_cosine,
         "lang_breakdown": q_lang_breakdown,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_ann": q_lsh_ann,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "bpe_token_count": q_bpe_token_count,
     }
 
 
@@ -501,5 +585,90 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 4) AS avg_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                   FROM t WHERE len(w) >= 3)
+            SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) * 1.0
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+            WHERE j >= 0.2
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS n
+                FROM embeddings)
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_sum(list_transform(range(1, 65),
+                               i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) AS cos_sim
+                FROM v a JOIN v b ON a.vec_id < b.vec_id) p
+            WHERE cos_sim >= 0.4
+        """,
+        "fingerprint": r"""
+            WITH t AS (SELECT doc_id,
+                              list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  w -> md5(w)) AS h
+                       FROM documents),
+            w AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, greatest(len(h) - 4, 0) + 1),
+                             i -> list_aggregate(h[i:i+4], 'min'))) AS fp
+                  FROM t)
+            SELECT doc_id, len(fp) AS n_fingerprints,
+                   list_aggregate(fp, 'min') AS min_fingerprint
+            FROM w WHERE len(fp) > 0
+        """,
+        "lang_id": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            s AS (SELECT doc_id,
+                round(len(list_filter(w, x -> x IN ('the','a','and','of','to')))
+                      * 1.0 / len(w), 6) AS s_en,
+                round(len(list_filter(w, x -> x IN ('der','die','das','und','nicht')))
+                      * 1.0 / len(w), 6) AS s_de,
+                round(len(list_filter(w, x -> x IN ('el','la','los','que','y')))
+                      * 1.0 / len(w), 6) AS s_es,
+                round(len(list_filter(w, x -> x IN ('le','la','les','et','est')))
+                      * 1.0 / len(w), 6) AS s_fr,
+                round(len(list_filter(w, x -> x IN ('的','是','了','在','我')))
+                      * 1.0 / len(w), 6) AS s_zh
+                FROM t),
+            f1 AS (SELECT doc_id, s_es, s_fr, s_zh,
+                          CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS p,
+                          CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS b
+                   FROM s),
+            f2 AS (SELECT doc_id, s_fr, s_zh,
+                          CASE WHEN s_es > b THEN 'es' ELSE p END AS p,
+                          CASE WHEN s_es > b THEN s_es ELSE b END AS b
+                   FROM f1),
+            f3 AS (SELECT doc_id, s_zh,
+                          CASE WHEN s_fr > b THEN 'fr' ELSE p END AS p,
+                          CASE WHEN s_fr > b THEN s_fr ELSE b END AS b
+                   FROM f2),
+            f4 AS (SELECT doc_id,
+                          CASE WHEN s_zh > b THEN 'zh' ELSE p END AS p,
+                          CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
+                   FROM f3)
+            SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                        + list_sum(list_transform(
+                              regexp_extract_all(text,
+                                  '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'),
+                              p -> greatest(CAST(ceil(length(p) / 6.0) AS INT) - 1,
+                                            0))) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
     }

@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "sessionize",
     "knn_cosine",
     "lang_breakdown",
+    "minhash_lsh",
+    "simhash_neardup",
+    "lsh_ann",
+    "fingerprint",
+    "lang_id",
+    "bpe_token_count",
     "frontier_schedule",
 ]
 

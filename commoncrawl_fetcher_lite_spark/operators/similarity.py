@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute_force_topk — exact cosine top-k per query; O(|Q|·|N|) cross join.
+    Correctness baseline; fine when |Q| is small or as the final re-rank.
+  * lsh_topk — random-hyperplane LSH (SimHash for vectors): bucket by
+    sign-bit signature prefixes, search only same-bucket candidates, exact
+    re-rank inside buckets. The scale path: candidate generation is a
+    bucket-key equi-join (shuffle on small int keys), probes multiple
+    signature rotations to raise recall.
+
+All vector math is double-precision Catalyst expressions (zip_with +
+aggregate) — no Python in the scoring loop. The hyperplanes are a
+deterministic broadcast literal derived from a seed (no Date/random at plan
+time).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(v: str | Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank)."""
+    scored = (
+        queries.crossJoin(corpus)
+        .where(F.col(corpus_id) != F.col(query_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(
+                _dot(query_vec, corpus_vec) / (_norm(query_vec) * _norm(corpus_vec)), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    splitmix-style hash stream; pure function of seed)."""
+    out = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    def nxt() -> float:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        return (z >> 11) / float(1 << 53)  # uniform [0,1)
+    for _ in range(n_planes):
+        plane = []
+        i = 0
+        while i < dim:
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            plane.append(r * math.cos(2 * math.pi * u2))
+            if i + 1 < dim:
+                plane.append(r * math.sin(2 * math.pi * u2))
+            i += 2
+        out.append(plane[:dim])
+    return out
+
+
+def lsh_signature(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as int (n_planes ≤ 31): bit_p = dot(v, plane_p)>0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(vec_col, lit_plane) > 0).cast("int")
+        bits.append(bit * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_rotations: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "v",
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over n_rotations
+    independent signatures, exact cosine re-rank. Recall grows with
+    rotations; candidates per query ≈ rotations · |N| / 2^n_planes."""
+    cand = None
+    for rot in range(n_rotations):
+        planes = _hyperplanes(dim, n_planes, seed + rot * 1000)
+        qs = queries.withColumn("bucket", lsh_signature(query_vec, planes))
+        cs = corpus.withColumn("bucket", lsh_signature(corpus_vec, planes))
+        c = qs.join(cs, "bucket").where(F.col(corpus_id) != F.col(query_id)).select(
+            query_id, F.col(corpus_id).alias("neighbor_id"), query_vec, corpus_vec
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates([query_id, "neighbor_id"])
+    scored = cand.select(
+        F.col(query_id),
+        F.col("neighbor_id"),
+        F.round(
+            _dot(query_vec, corpus_vec) / (_norm(query_vec) * _norm(corpus_vec)), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

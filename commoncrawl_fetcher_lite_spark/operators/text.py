@@ -1,0 +1,133 @@
+"""Text analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All pure Catalyst expressions so they
+run inside whole-stage codegen over 100 TB text scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-word profiles for the n-gram/stopword language heuristic.
+# Deterministic argmax over marker-hit ratios with fixed tie order —
+# on real corpora the profiles would come from per-language stopword lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Sub-word-ish token estimate: count regex pieces (letter runs, digit
+    runs, punctuation singles) — the cheap scan-side proxy for a BPE
+    tokenizer's token count."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    # long letter runs split ~every 6 chars by BPE; add ceil(len/6)-1 extras
+    extras = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / 6).cast("int") - 1, F.lit(0)),
+    )
+    return F.size(pieces) + extras
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword features + a composite score."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    punct_ratio = n_punct.cast("double") / F.length(t)
+    score = (
+        F.when(n_words < 5, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+            + F.least(F.lit(1.0), stop_ratio * 5) * 0.4
+            + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2
+        )
+    )
+    return docs.select(
+        id_col,
+        F.length(t).alias("n_chars_q"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: per language, ratio of tokens in its
+    marker set; predict argmax (ties by fixed language order). Deterministic
+    and scan-side."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    scores = [
+        (
+            lang,
+            F.round(
+                F.size(F.filter(toks, lambda w: w.isin(markers))).cast("double") / n,
+                6,
+            ),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    pred = None
+    best = None
+    for lang, s in scores:
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return docs.select(
+        id_col,
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 each token, take the
+    lexicographic min over each sliding window, distinct mins = the
+    fingerprint set. Output: (doc_id, n_fingerprints, min_fingerprint).
+    Lexicographic string mins make the scheme portable across engines."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda w: F.md5(w))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fp = F.array_distinct(mins)
+    return docs.select(
+        id_col,
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fingerprint"),
+    ).where(F.col("n_fingerprints") > 0)

@@ -1,0 +1,133 @@
+"""Dedup + similarity operators: controlled near-dup corpora, LSH recall
+vs exact baselines, structural invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    verify_jaccard,
+    with_simhash,
+)
+from commoncrawl_fetcher_lite_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "spark shuffles partition data across executors while catalyst optimizes "
+    "logical plans into physical stages that pipeline narrow transformations"
+).split()
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """20 doc families; each family = base text + variants with 0-2 token
+    edits (high jaccard) + unrelated docs (low jaccard)."""
+    rows = []
+    doc_id = 0
+    for fam in range(20):
+        words = [f"{w}{fam}" for w in BASE]
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        v = list(words)
+        v[3] = "EDITED"
+        rows.append((doc_id, " ".join(v)))  # 1-edit near-dup
+        doc_id += 1
+        v2 = list(words)
+        v2[0], v2[10] = "X", "Y"
+        rows.append((doc_id, " ".join(v2)))  # 2-edit near-dup
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_exact(spark, neardup_docs):
+    pairs = ngram_jaccard_pairs(neardup_docs, threshold=0.5).collect()
+    # every family contributes its (base, 1-edit) and (base, 2-edit) pairs
+    # above 0.5 (the edit-vs-edit pair lands below); cross-family pairs
+    # share no shingles
+    assert len(pairs) == 20 * 2
+    for r in pairs:
+        assert r["doc_a"] // 3 == r["doc_b"] // 3  # same family only
+
+
+def test_minhash_lsh_finds_all_high_jaccard(spark, neardup_docs):
+    """LSH candidates must contain every true pair with J>=0.5 (b=16,r=4 →
+    miss probability ~2e-4/pair), and verify_jaccard must reproduce the
+    exact pair set."""
+    truth = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(neardup_docs, threshold=0.5).collect()
+    }
+    cand = minhash_lsh_candidates(neardup_docs, bands=32, num_perm=64)
+    verified = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in verify_jaccard(cand, neardup_docs, threshold=0.5).collect()
+    }
+    assert verified == truth
+
+
+def test_simhash_neardup(spark, neardup_docs):
+    pairs = simhash_neardup_pairs(neardup_docs, max_hamming=6).collect()
+    assert len(pairs) > 0
+    # verify reported hamming by recomputing from signatures
+    sig = {r["id"]: r["simhash"] for r in with_simhash(neardup_docs).collect()}
+    for r in pairs:
+        d = bin((sig[r["id_a"]] ^ sig[r["id_b"]]) & ((1 << 64) - 1)).count("1")
+        assert d == r["hamming"] and d <= 6
+        assert r["id_a"] // 3 == r["id_b"] // 3  # only family pairs this close
+
+
+def test_simhash_deterministic(spark, neardup_docs):
+    a = {tuple(r) for r in with_simhash(neardup_docs).collect()}
+    b = {tuple(r) for r in with_simhash(neardup_docs).collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+def test_embedding_neardup_pairs(spark, emb):
+    out = embedding_neardup_pairs(
+        emb.withColumnRenamed("v", "embedding"), threshold=0.4
+    )
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] and r["cos_sim"] >= 0.4 for r in rows)
+
+
+def test_lsh_ann_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(q, emb, k=5)
+    approx = lsh_topk(q, emb, k=5, n_planes=4, n_rotations=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # approx scores must agree with exact where they overlap
+    es = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in es:
+            assert abs(r["cos_sim"] - es[key]) < 1e-9

@@ -1,0 +1,98 @@
+"""Text-analysis + multimodal operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.operators.multimodal import (
+    classify_media,
+    extract_features,
+)
+from commoncrawl_fetcher_lite_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprints,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "one"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 1, 3: 5}
+    bpe = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_ish_token_count("text").alias("n")).collect()
+    }
+    assert bpe[2] == 1 and bpe[1] >= 3  # long words split into sub-pieces
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked of a to the dog warmly"),
+            (2, "x!!! ??? ###"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[1]["stopword_ratio"] > 0.3
+    assert rows[2]["punct_ratio"] > 0.5
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze das haus"),
+            (3, "el perro y la casa que los gatos"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprints_shift_invariance(spark):
+    """Winnowing property: shared long runs yield shared fingerprints."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX " + base)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert rows[1]["n_fingerprints"] > 0
+    # identical suffix content → overlapping min-fingerprint sets
+    assert rows[1]["min_fingerprint"] == rows[2]["min_fingerprint"]
+
+
+def test_classify_media(spark):
+    df = spark.createDataFrame(
+        [
+            ("m1", bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
+            ("m2", bytearray(b"\x89PNGrest")),
+            ("m3", bytearray(b"ID3audio")),
+            ("m4", bytearray(b"randombytes")),
+        ],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r["kind"] for r in classify_media(df).collect()}
+    assert got == {"m1": "image", "m2": "image", "m3": "audio", "m4": "other"}
+
+
+def test_extract_features_stub(spark):
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\xff\xd8\xffdata")), ("m2", "video", bytearray(b"vid"))],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert len(rows["m1"]["feature"]) == 16
+    assert rows["m1"]["width"] is not None and rows["m2"]["width"] is None
+    assert rows["m2"]["n_frames"] is not None
+    # deterministic
+    rows2 = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert rows["m1"]["feature"] == rows2["m1"]["feature"]
