@@ -39,15 +39,26 @@ from pyspark.sql import types as T
 
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles, pure Catalyst: split → sliding
-    concat_ws over sequence indexes → array_distinct."""
+    concat_ws over sequence indexes → array_distinct.
+
+    The token array is LET-BOUND: a lambda body that closes over the raw
+    split() expression re-evaluates the split once per produced element
+    (HOF lambda bodies are full expression trees) — measured 20x slowdown.
+    Binding via letbind.let makes it a per-row constant."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), r"\s+")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    return let(
+        F.split(F.trim(c), r"\s+"),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
     )
-    return F.array_distinct(sh)
 
 
 # ------------------------------------------------------------ exact dedup
@@ -69,16 +80,47 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------ minhash LSH
 
 
+def base_shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 per shingle — the ONLY string hashing, JVM-side."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _minhash_udf(num_perm: int):
+    """Vectorized permutation mins from base hashes: h_p(x) = mix(h1 + p*h2)
+    (Kirsch-Mitzenmacher double hashing over splitmix-mixed lanes). The
+    string hashing happened JVM-side; Python sees only int64 arrays and
+    does one (n_shingles × num_perm) numpy min per row — Arrow-batched,
+    ~10^8 lanes/sec/core. Interpreted HOF minhash (64 nested transforms)
+    measured ~20x slower at sf0.1."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def mix(x: np.ndarray) -> np.ndarray:
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & mask
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & mask
+        return x ^ (x >> np.uint64(31))
+
+    perms = np.arange(num_perm, dtype=np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(base: pd.Series) -> pd.Series:
+        out = []
+        for arr in base:
+            h1 = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            h2 = mix(h1) | np.uint64(1)
+            lanes = mix((h1[:, None] + perms[None, :] * h2[:, None]) & mask)
+            out.append(lanes.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """num_perm minhashes: min over shingles of xxhash64(shingle, seed_p).
-    Entirely JVM-side (array_min ∘ transform ∘ xxhash64)."""
-    sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(p).cast("long")))
-        )
-        for p in range(num_perm)
-    ]
-    return F.array(*sigs)
+    """num_perm minhashes of a shingle array (hybrid JVM hash + numpy min)."""
+    return _minhash_udf(num_perm)(base_shingle_hashes(shingles))
 
 
 def minhash_lsh_candidates(
@@ -93,25 +135,38 @@ def minhash_lsh_candidates(
 
     bands=16, rows=4 over 64 perms → pairs with J≈0.5 caught w.p. ~0.88,
     J≈0.7 w.p. ~0.998. Output: (id_a, id_b) candidates, id_a < id_b."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
     rows_per_band = num_perm // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
-    sig = sh.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+
+    sh = spread_for_compute(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select("id", word_shingles("_t", n).alias("sh")).where(F.size("sh") > 0)
+    # one let-bound pass: signature computed once per row, band hashes
+    # derived from the bound array (element_at with the band lambda var) —
+    # no per-band re-evaluation of the shingle/minhash chain.
+    bands_expr = let(
+        minhash_signature(F.col("sh"), num_perm),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
                 F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+            ),
+        ),
     )
-    buckets = sig.select("id", F.explode(band_cols).alias("b")).select(
+    buckets = sh.select("id", F.explode(bands_expr).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+    # persist: the self-join would otherwise run the whole shingle→minhash
+    # pipeline twice (once per side). Bucket rows are tiny (id + 2 longs).
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -188,7 +243,11 @@ def with_simhash(
     """64-bit SimHash per doc: sign-sum of token-hash bits, packed with
     vectorized numpy inside mapInPandas (bit-twiddling is the one step
     Catalyst can't express cleanly)."""
-    sel = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+
+    sel = spread_for_compute(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,6 +316,7 @@ def simhash_neardup_pairs(
     buckets = sh.select("id", "simhash", F.explode(chunks).alias("c")).select(
         "id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk")
     )
+    buckets = buckets.persist()  # self-join would recompute simhash twice
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -47,33 +47,39 @@ def bpe_ish_token_count(text_col: str | Column) -> Column:
 
 
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword features + a composite score."""
+    """Length / punctuation / stopword features + a composite score.
+
+    Built as one let-bound struct emitted through F.inline so the token
+    array is computed exactly once per row (see functions/letbind.py)."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
     t = F.col(text_col)
-    toks = tokens(text_col)
-    n_words = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
-    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
-    mean_word_len = F.aggregate(
-        toks, F.lit(0), lambda acc, w: acc + F.length(w)
-    ) / n_words
-    stop_ratio = n_stop.cast("double") / n_words
-    punct_ratio = n_punct.cast("double") / F.length(t)
-    score = (
-        F.when(n_words < 5, 0.0)
-        .otherwise(
+
+    def _features(toks):
+        n_words = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+        n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+        mean_word_len = F.aggregate(
+            toks, F.lit(0), lambda acc, w: acc + F.length(w)
+        ) / n_words
+        stop_ratio = n_stop.cast("double") / n_words
+        punct_ratio = n_punct.cast("double") / F.length(t)
+        score = F.when(n_words < 5, 0.0).otherwise(
             F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
             + F.least(F.lit(1.0), stop_ratio * 5) * 0.4
             + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2
         )
-    )
+        return F.struct(
+            F.length(t).alias("n_chars_q"),
+            n_words.alias("n_words"),
+            F.round(mean_word_len, 4).alias("mean_word_len"),
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            F.round(punct_ratio, 4).alias("punct_ratio"),
+            F.round(score, 4).alias("quality_score"),
+        )
+
     return docs.select(
-        id_col,
-        F.length(t).alias("n_chars_q"),
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        id_col, F.inline(F.array(let(tokens(text_col), _features)))
     )
 
 
@@ -81,31 +87,34 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Marker-word language heuristic: per language, ratio of tokens in its
     marker set; predict argmax (ties by fixed language order). Deterministic
     and scan-side."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    scores = [
-        (
-            lang,
-            F.round(
-                F.size(F.filter(toks, lambda w: w.isin(markers))).cast("double") / n,
-                6,
-            ),
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    def _pred(toks):
+        n = F.size(toks)
+        scores = [
+            (
+                lang,
+                F.round(
+                    F.size(F.filter(toks, lambda w: w.isin(markers))).cast("double")
+                    / n,
+                    6,
+                ),
+            )
+            for lang, markers in LANG_MARKERS.items()
+        ]
+        pred = None
+        best = None
+        for lang, s in scores:
+            if pred is None:
+                pred, best = F.lit(lang), s
+            else:
+                pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+                best = F.when(s > best, s).otherwise(best)
+        return F.struct(
+            pred.alias("pred_lang"), F.round(best, 6).alias("lang_score")
         )
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    pred = None
-    best = None
-    for lang, s in scores:
-        if pred is None:
-            pred, best = F.lit(lang), s
-        else:
-            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-            best = F.when(s > best, s).otherwise(best)
-    return docs.select(
-        id_col,
-        pred.alias("pred_lang"),
-        F.round(best, 6).alias("lang_score"),
-    )
+
+    return docs.select(id_col, F.inline(F.array(let(tokens(text_col), _pred))))
 
 
 def fingerprints(
@@ -118,16 +127,30 @@ def fingerprints(
     lexicographic min over each sliding window, distinct mins = the
     fingerprint set. Output: (doc_id, n_fingerprints, min_fingerprint).
     Lexicographic string mins make the scheme portable across engines."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda w: F.md5(w))
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    fp_struct = let(
+        F.transform(tokens(text_col), lambda w: F.md5(w)),
+        lambda hashes: let(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+                    ),
+                    lambda i: F.array_min(F.slice(hashes, i, window)),
+                )
+            ),
+            lambda fp: F.struct(
+                F.size(fp).alias("n"), F.array_min(fp).alias("mn")
+            ),
+        ),
     )
-    fp = F.array_distinct(mins)
-    return docs.select(
-        id_col,
-        F.size(fp).alias("n_fingerprints"),
-        F.array_min(fp).alias("min_fingerprint"),
-    ).where(F.col("n_fingerprints") > 0)
+    # F.inline = generator node: never collapsed into downstream
+    # projections, so the whole let-chain runs exactly once per row even
+    # though two output columns (and the filter) consume it.
+    return (
+        docs.select(id_col, F.inline(F.array(fp_struct)))
+        .withColumnRenamed("n", "n_fingerprints")
+        .withColumnRenamed("mn", "min_fingerprint")
+        .where(F.col("n_fingerprints") > 0)
+    )

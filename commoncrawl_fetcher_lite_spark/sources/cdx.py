@@ -188,13 +188,15 @@ def parse_cdx(lines: DataFrame, with_repair: bool = True) -> DataFrame:
     df = df.withColumn("rec", F.when(strict_ok, parsed))
 
     if with_repair:
-        # P3 on the failure minority only (vectorized pandas UDF).
-        df = df.withColumn(
-            "rec",
-            F.when(F.col("rec").isNotNull(), F.col("rec")).otherwise(
-                _repair_json_udf(F.col("json_tail"))
-            ),
+        # P3 on the failure minority ONLY. ArrowEvalPython computes pandas
+        # UDFs for every input row regardless of surrounding when()-guards,
+        # so the failure rows are physically split off before the UDF — the
+        # Python worker never sees the (hot-path) well-formed majority.
+        ok = df.where(F.col("rec").isNotNull())
+        bad = df.where(F.col("rec").isNull()).withColumn(
+            "rec", _repair_json_udf(F.col("json_tail"))
         )
+        df = ok.unionByName(bad)
 
     df = df.where(F.col("rec.url").isNotNull())  # give-up drops
     return df.select(

@@ -1,0 +1,241 @@
+"""Scaling-efficiency protocol (north rule: throughput efficiency ≥0.8 from
+N to 4N executors; sandbox stand-in = local[8] vs local[32] per the task
+brief / SURVEY §5.5).
+
+Runs the SAME two workloads at both parallelism levels in separate
+processes (a SparkSession's core count is fixed per JVM):
+
+  W1 frontier_schedule: N_SEEDS synthetic seed URLs (spark.range — no I/O
+     skew, pure engine work): canonicalize+hash, URL-seen anti-join
+     (25% seen), salted per-host politeness top-k. The north-rule metric
+     (URLs scheduled/sec).
+  W2 cdx_pipeline: gzip CDX index scan → parse (P1-P3) → selector →
+     CountMimes agg over files generated ONCE by Spark into /tmp (32 gz
+     files so both runs have full file-level parallelism — matching the
+     reference's one-worker-per-file granularity).
+
+Usage: python scaling_bench.py           # orchestrates both levels
+       SCALING_WORKER=8 python scaling_bench.py   # internal: one level
+
+Writes BENCH/BASELINE.md with throughput at both levels + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_SEEDS = int(os.environ.get("SCALING_SEEDS", "4000000"))
+N_CDX_LINES = int(os.environ.get("SCALING_CDX_LINES", "2000000"))
+N_CDX_FILES = 32
+CDX_DIR = os.environ.get("SCALING_CDX_DIR", "/tmp/ccspark_bench_cdx")
+LEVELS = (8, 32)
+
+
+def gen_cdx_files(spark) -> None:
+    """One-time Spark-side generation of gzip CDX files (deterministic)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(CDX_DIR, "_SUCCESS")):
+        return
+    df = spark.range(N_CDX_LINES).select(
+        F.concat(
+            F.lit("com,example,host"),
+            (F.col("id") % 2000).cast("string"),
+            F.lit(")/p/"),
+            F.col("id").cast("string"),
+            F.lit(" 20230101120000 "),
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("https://host"),
+                        (F.col("id") % 2000).cast("string"),
+                        F.lit(".example.com/p/"),
+                        F.col("id").cast("string"),
+                    ).alias("url"),
+                    F.element_at(
+                        F.array(
+                            F.lit("text/html"),
+                            F.lit("application/pdf"),
+                            F.lit("image/jpeg"),
+                            F.lit("video/mp4"),
+                        ),
+                        (F.col("id") % 4 + 1).cast("int"),
+                    ).alias("mime-detected"),
+                    F.element_at(
+                        F.array(F.lit("200"), F.lit("200"), F.lit("200"), F.lit("404")),
+                        (F.col("id") % 4 + 1).cast("int"),
+                    ).alias("status"),
+                    F.sha2(F.col("id").cast("string"), 256).alias("digest"),
+                    F.lit("1000").alias("length"),
+                    F.lit("0").alias("offset"),
+                    F.lit("crawl-data/x.warc.gz").alias("filename"),
+                    F.when(F.col("id") % 10 == 0, "length").alias("truncated"),
+                )
+            ),
+        ).alias("value")
+    )
+    (
+        df.repartition(N_CDX_FILES)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(CDX_DIR)
+    )
+
+
+def workload_frontier(spark) -> float:
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import schedule_batch
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+        filter_unseen,
+        with_url_hash,
+    )
+
+    seeds = spark.range(N_SEEDS).select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("id") % 5000).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("id") % 5000).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) / 1000.0).alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+    )
+    seen = with_url_hash(
+        spark.range(0, N_SEEDS, 4).select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("id") % 5000).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+    )
+    t0 = time.perf_counter()
+    unseen = filter_unseen(seeds, seen)
+    quotas = spark.createDataFrame([], "host string, quota int")
+    batch = schedule_batch(unseen, quotas, default_quota=400, n_salt=16)
+    batch.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def workload_cdx(spark) -> float:
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.operators.mimes import count_mimes
+    from commoncrawl_fetcher_lite_spark.operators.selector import compile_selector
+    from commoncrawl_fetcher_lite_spark.sources.cdx import parse_cdx, read_cdx_lines
+
+    paths = sorted(
+        os.path.join(CDX_DIR, f)
+        for f in os.listdir(CDX_DIR)
+        if f.endswith(".gz")
+    )
+    t0 = time.perf_counter()
+    recs = parse_cdx(read_cdx_lines(spark, paths))
+    sel = compile_selector(
+        {
+            "must": {"status": [{"match": "200"}]},
+            "should": {
+                "mime_detected": [
+                    {"match": "text/html"},
+                    {"match": "application/pdf"},
+                ]
+            },
+        }
+    )
+    count_mimes(recs, sel).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_level(cpus: int) -> dict:
+    from commoncrawl_fetcher_lite_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    gen_cdx_files(spark)
+    # warm-up pass (JVM JIT, file listing) with a small slice
+    spark.range(1000).count()
+    t_frontier = workload_frontier(spark)
+    t_cdx = workload_cdx(spark)
+    out = {
+        "cpus": cpus,
+        "frontier_sec": round(t_frontier, 3),
+        "frontier_urls_per_sec": round(N_SEEDS / t_frontier, 1),
+        "cdx_sec": round(t_cdx, 3),
+        "cdx_lines_per_sec": round(N_CDX_LINES / t_cdx, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    worker = os.environ.get("SCALING_WORKER")
+    if worker:
+        print(json.dumps(run_level(int(worker))))
+        return
+
+    results = {}
+    for cpus in LEVELS:
+        env = dict(os.environ, SCALING_WORKER=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(json.dumps(results[cpus]))
+
+    n, n4 = LEVELS
+    ratio = n4 / n
+    eff_frontier = (
+        results[n4]["frontier_urls_per_sec"] / results[n]["frontier_urls_per_sec"]
+    ) / ratio
+    eff_cdx = (
+        results[n4]["cdx_lines_per_sec"] / results[n]["cdx_lines_per_sec"]
+    ) / ratio
+    summary = {
+        "levels": LEVELS,
+        "efficiency_frontier": round(eff_frontier, 3),
+        "efficiency_cdx": round(eff_cdx, 3),
+        **{f"level_{k}": v for k, v in results.items()},
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — scaling efficiency (north-rule protocol)
+
+Sandbox stand-in for N vs 4N executors: the SAME job at two parallelism
+levels (`local[{n}]` vs `local[{n4}]`), identical input, separate JVMs.
+
+| workload | local[{n}] | local[{n4}] | speedup | efficiency |
+|---|---|---|---|---|
+| frontier schedule ({N_SEEDS:,} URLs: hash, 25% seen anti-join, salted per-host top-k) | {results[n]['frontier_urls_per_sec']:,.0f} urls/s | {results[n4]['frontier_urls_per_sec']:,.0f} urls/s | {results[n4]['frontier_urls_per_sec']/results[n]['frontier_urls_per_sec']:.2f}x | **{eff_frontier:.2f}** |
+| cdx pipeline ({N_CDX_LINES:,} gz lines: scan, parse P1-P3, selector, CountMimes) | {results[n]['cdx_lines_per_sec']:,.0f} lines/s | {results[n4]['cdx_lines_per_sec']:,.0f} lines/s | {results[n4]['cdx_lines_per_sec']/results[n]['cdx_lines_per_sec']:.2f}x | **{eff_cdx:.2f}** |
+
+Efficiency = speedup / (core ratio {ratio:.0f}). North-rule target ≥ 0.8.
+
+Raw timings: local[{n}] frontier {results[n]['frontier_sec']}s, cdx
+{results[n]['cdx_sec']}s; local[{n4}] frontier {results[n4]['frontier_sec']}s,
+cdx {results[n4]['cdx_sec']}s. Input: {N_CDX_FILES} gzip cdx files (so both
+levels have full file-level parallelism — gzip is unsplittable, 1 task per
+file, the reference's worker-per-file granularity).
+
+Reproduce: `python scaling_bench.py` (env: SCALING_SEEDS, SCALING_CDX_LINES).
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
