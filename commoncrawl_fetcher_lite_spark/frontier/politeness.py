@@ -50,8 +50,13 @@ def host_quota(
     default_tokens_per_sec: float = 1.0,
     default_burst: int = 10,
     default_max_per_batch: int = 100,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
-    """→ (host, quota int). host_budget may contain a '*' default row."""
+    """→ (host, quota int). host_budget may contain a '*' default row.
+
+    When `robots` carries crawl_delay_s for a host, its effective token
+    rate is capped at 1/crawl_delay (the robots.txt Crawl-delay contract
+    beats any configured budget)."""
     hb = host_budget.where(F.col("host") != "*")
     dflt = host_budget.where(F.col("host") == "*").collect()
     if dflt:
@@ -59,12 +64,21 @@ def host_quota(
         default_tokens_per_sec = d["tokens_per_sec"]
         default_burst = d["burst"]
         default_max_per_batch = d["max_per_batch"]
+    rate = F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
+    if robots is not None:
+        hb = hb.join(
+            F.broadcast(robots.select("host", "crawl_delay_s")), "host", "outer"
+        )
+        rate = F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
+        rate = F.when(
+            F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
+            F.least(rate, 1.0 / F.col("crawl_delay_s")),
+        ).otherwise(rate)
     quota = F.least(
         F.coalesce(F.col("max_per_batch"), F.lit(default_max_per_batch)),
         (
             F.coalesce(F.col("burst"), F.lit(default_burst))
-            + F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
-            * F.lit(batch_seconds)
+            + rate * F.lit(batch_seconds)
         ).cast("int"),
     )
     return hb.select("host", quota.alias("quota")), int(

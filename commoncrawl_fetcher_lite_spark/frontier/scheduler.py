@@ -109,6 +109,23 @@ def run_iteration(
     new_frontier = frontier.join(
         batch_urls.select("url_hash"), "url_hash", "left_anti"
     )
+    # frontier merge (§2.8): redirect targets discovered by the fetch join
+    # the frontier as fresh candidates (deduped against seen next round)
+    if fetch_fn is not None and "redirect" in fetched.columns:
+        from commoncrawl_fetcher_lite_spark.functions.urls import host_of
+
+        redirects = (
+            fetched.where(F.col("redirect").isNotNull())
+            .select(F.col("redirect").alias("url"))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("priority", F.lit(0.5))
+            .withColumn("discovered_ts", F.lit(None).cast("timestamp"))
+            .withColumn("recrawl_score", F.lit(0.0))
+        )
+        redirects = with_url_hash(redirects).select(*new_frontier.columns)
+        new_frontier = new_frontier.unionByName(redirects).dropDuplicates(
+            ["url_hash"]
+        )
 
     tables = {
         "frontier": new_frontier,

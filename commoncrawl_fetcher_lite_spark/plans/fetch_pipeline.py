@@ -99,7 +99,21 @@ def run_fetch(
         would_extract,
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
+        emit_dir=cfg.emit.base_path or None,
     )
+    # A4 run counters (CCIndexReaderCounter.java:22-25) as an observe()
+    # metric: filled in when the caller runs any action on `extracted`;
+    # free (piggybacks the action, no extra job).
+    obs = Observation("fetch_counters")
+    fetched = fetched.observe(
+        obs,
+        F.count(F.lit(1)).alias("fetchable_records"),
+        F.sum(F.when(F.col("empty_payload"), 1).otherwise(0)).alias("empty_payload"),
+        F.sum(F.when(~F.col("digest_ok") & ~F.col("empty_payload"), 1).otherwise(0)).alias(
+            "digest_mismatch"
+        ),
+    )
+    metrics["observation"] = obs
     # F13: empty payloads are counted then skipped
     extracted = fetched.where(~F.col("empty_payload"))
     docs = extracted.select(F.col("url").alias("doc_id"), "spans")

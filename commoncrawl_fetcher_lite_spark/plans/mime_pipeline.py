@@ -30,9 +30,12 @@ from commoncrawl_fetcher_lite_spark.sources.cdx import (
 def run_count_mimes(spark: SparkSession, cfg: ExtractorConfig) -> DataFrame:
     """→ (mime, total, truncated, non_truncated) sorted desc by total."""
     paths = expand_index_paths(list(cfg.index_paths), cfg.max_index_files)
-    records = parse_cdx(read_cdx_lines(spark, paths))
+    has_budget = cfg.max_records < (1 << 62)
+    # dense per-file line numbers cost a second gzip scan — only budgets
+    # need them; the pure aggregation path is a single scan.
+    records = parse_cdx(read_cdx_lines(spark, paths, dense_line_numbers=has_budget))
     sel = compile_selector(cfg.selector, seed=cfg.sample_seed)
-    if cfg.max_records < (1 << 62):
+    if has_budget:
         records = apply_budgets(records, sel, max_records=cfg.max_records)
         sel = F.col("is_selected")
     return count_mimes(records, sel)

@@ -99,12 +99,21 @@ def expand_index_paths(
     return out
 
 
-def read_cdx_lines(spark: SparkSession, index_paths: list[str]) -> DataFrame:
+def read_cdx_lines(
+    spark: SparkSession, index_paths: list[str], dense_line_numbers: bool = True
+) -> DataFrame:
     """Scan index .gz files → (index_file, index_file_seq, line_no, line).
 
     line_no is 0-based over NON-BLANK lines per file (blanks dropped first,
     so budgets see the same stream the reference counts). No global shuffle:
     per-file min-id aggregate only.
+
+    dense_line_numbers=False skips the per-file min(mid) pass — that pass is
+    a SECOND full gzip scan (gzip can't skip bytes), and dense numbering is
+    only needed for budget arithmetic and parity joins. With False, line_no
+    is monotonically_increasing_id: order-correct within each file (files
+    are never split across tasks; reads are sequential) but not dense —
+    fine for selection/aggregation pipelines like CountMimes.
     """
     seq_map = [(p, i) for i, p in enumerate(index_paths)]
     seq_df = spark.createDataFrame(seq_map, "index_file string, index_file_seq int")
@@ -118,11 +127,14 @@ def read_cdx_lines(spark: SparkSession, index_paths: list[str]) -> DataFrame:
         .where(F.trim(F.col("line")) != "")  # F10: blanks skipped pre-count
         .withColumn("mid", F.monotonically_increasing_id())
     )
-    # rank lines within each file: files are never split across tasks (gzip),
-    # and reads are sequential, so mid is contiguous-increasing per file.
-    mins = df.groupBy("file_path").agg(F.min("mid").alias("min_mid"))
-    df = df.join(F.broadcast(mins), "file_path")
-    df = df.withColumn("line_no", (F.col("mid") - F.col("min_mid")).cast("long"))
+    if dense_line_numbers:
+        # rank lines within each file: files are never split across tasks
+        # (gzip), and reads are sequential, so mid is contiguous per file.
+        mins = df.groupBy("file_path").agg(F.min("mid").alias("min_mid"))
+        df = df.join(F.broadcast(mins), "file_path")
+        df = df.withColumn("line_no", (F.col("mid") - F.col("min_mid")).cast("long"))
+    else:
+        df = df.withColumn("line_no", F.col("mid"))
     # normalize file path (spark returns file:// URIs) and attach seq
     df = df.withColumn(
         "index_file", F.regexp_replace("file_path", "^file:(//)?", "")
@@ -188,15 +200,16 @@ def parse_cdx(lines: DataFrame, with_repair: bool = True) -> DataFrame:
     df = df.withColumn("rec", F.when(strict_ok, parsed))
 
     if with_repair:
-        # P3 on the failure minority ONLY. ArrowEvalPython computes pandas
-        # UDFs for every input row regardless of surrounding when()-guards,
-        # so the failure rows are physically split off before the UDF — the
-        # Python worker never sees the (hot-path) well-formed majority.
-        ok = df.where(F.col("rec").isNotNull())
-        bad = df.where(F.col("rec").isNull()).withColumn(
-            "rec", _repair_json_udf(F.col("json_tail"))
+        # P3 on the failure minority ONLY — but in ONE pass: ArrowEvalPython
+        # computes pandas UDFs for every input row regardless of when()-
+        # guards, and splitting ok/bad into a union re-runs the whole gzip
+        # scan twice. Instead the UDF's INPUT is nulled for the well-formed
+        # majority: every row takes the (cheap) Arrow hop, but Python does
+        # no work for None inputs. Single scan, minority-only repair cost.
+        repaired = _repair_json_udf(
+            F.when(F.col("rec").isNull(), F.col("json_tail"))
         )
-        df = ok.unionByName(bad)
+        df = df.withColumn("rec", F.coalesce(F.col("rec"), repaired))
 
     df = df.where(F.col("rec.url").isNotNull())  # give-up drops
     return df.select(

@@ -46,6 +46,20 @@ from commoncrawl_fetcher_lite_spark.functions.paths import rewrite_target_path_p
 
 _MEDIA_RE = re.compile(r"^\[\[MEDIA:(\d+)\]\]$")
 
+
+def _emit_payload(emit_dir: str, rel_path: str, payload: bytes) -> None:
+    """S9: content-addressed write, skip-if-exists, tmp+rename atomic."""
+    import os
+
+    dst = os.path.join(emit_dir, rel_path)
+    if os.path.exists(dst):
+        return  # onExists=skip (ExtractorConfig.java:276)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+
 OUT_SCHEMA = (
     "url string, mime string, mime_detected string, warc_file string, "
     "warc_offset long, warc_length long, truncated string, sha256 string, "
@@ -126,11 +140,18 @@ def extract_payloads(
     path_resolver: Callable[[str], str],
     target_path_pattern: str = "xx/xx/xxx",
     coalesce_by_file: bool = True,
+    emit_dir: str | None = None,
 ) -> DataFrame:
     """records must carry url, mime, mime_detected, status, digest, length,
     offset, filename, truncated. Returns one row per FETCHABLE record with
     extraction metadata + spans; empty payloads flagged (caller filters and
-    counts them — F13)."""
+    counts them — F13).
+
+    ``emit_dir``: S9 content-addressed emit sink (ExtractorConfig.java:271-278)
+    — each payload lands at emit_dir/<rewritten sha256 path>, executor-side,
+    write-to-tmp + atomic rename, skip-if-exists (idempotent across task
+    retries, exactly the reference's onExists=skip).
+    """
     cols = [
         "url", "mime", "mime_detected", "digest", "length", "offset",
         "filename", "truncated",
@@ -166,6 +187,10 @@ def extract_payloads(
                 empty = len(payload) == 0
                 sha256 = hashlib.sha256(payload).hexdigest() if not empty else None
                 digest_ok = (not empty) and sha1_b32(payload) == row.digest
+                if emit_dir is not None and not empty:
+                    _emit_payload(
+                        emit_dir, rewrite_target_path_py(sha256, pattern), payload
+                    )
                 spans = (
                     assemble_spans(row.url, row.mime_detected, payload, pattern)
                     if not empty

@@ -139,7 +139,7 @@ def workload_cdx(spark) -> float:
         if f.endswith(".gz")
     )
     t0 = time.perf_counter()
-    recs = parse_cdx(read_cdx_lines(spark, paths))
+    recs = parse_cdx(read_cdx_lines(spark, paths, dense_line_numbers=False))
     sel = compile_selector(
         {
             "must": {"status": [{"match": "200"}]},
@@ -155,21 +155,37 @@ def workload_cdx(spark) -> float:
     return time.perf_counter() - t0
 
 
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run_level(cpus: int) -> dict:
+    """Best-of-REPS per workload: this sandbox shares the box with other
+    tenants (loadavg swings 3→20 with no local processes), so a single
+    timing is contention noise; the minimum approaches the uncontended
+    cost. loadavg is recorded so the reader can judge the measurement."""
     from commoncrawl_fetcher_lite_spark.session import get_spark
 
     spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
     gen_cdx_files(spark)
     # warm-up pass (JVM JIT, file listing) with a small slice
     spark.range(1000).count()
-    t_frontier = workload_frontier(spark)
-    t_cdx = workload_cdx(spark)
+    loads = [_loadavg()]
+    t_frontier = min(workload_frontier(spark) for _ in range(REPS))
+    loads.append(_loadavg())
+    t_cdx = min(workload_cdx(spark) for _ in range(REPS))
+    loads.append(_loadavg())
     out = {
         "cpus": cpus,
         "frontier_sec": round(t_frontier, 3),
         "frontier_urls_per_sec": round(N_SEEDS / t_frontier, 1),
         "cdx_sec": round(t_cdx, 3),
         "cdx_lines_per_sec": round(N_CDX_LINES / t_cdx, 1),
+        "loadavg_samples": loads,
     }
     spark.stop()
     return out
@@ -183,6 +199,11 @@ def main() -> None:
 
     results = {}
     for cpus in LEVELS:
+        # contention gate: wait (bounded) for external load to drop so the
+        # two levels are measured under comparable conditions
+        deadline = time.time() + int(os.environ.get("SCALING_LOAD_WAIT", "600"))
+        while _loadavg() > 4.0 and time.time() < deadline:
+            time.sleep(15)
         env = dict(os.environ, SCALING_WORKER=str(cpus))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -232,7 +253,15 @@ cdx {results[n4]['cdx_sec']}s. Input: {N_CDX_FILES} gzip cdx files (so both
 levels have full file-level parallelism — gzip is unsplittable, 1 task per
 file, the reference's worker-per-file granularity).
 
-Reproduce: `python scaling_bench.py` (env: SCALING_SEEDS, SCALING_CDX_LINES).
+Measurement notes: this sandbox shares hardware with other tenants
+(loadavg swings 3-20 with zero local processes), so each timing is the
+MINIMUM of {REPS} repetitions and each level waits for loadavg < 4 before
+starting (bounded). loadavg samples around the runs:
+local[{n}] {results[n].get('loadavg_samples')}, local[{n4}]
+{results[n4].get('loadavg_samples')}.
+
+Reproduce: `python scaling_bench.py` (env: SCALING_SEEDS, SCALING_CDX_LINES,
+SCALING_REPS, SCALING_LOAD_WAIT).
 """
         )
 
