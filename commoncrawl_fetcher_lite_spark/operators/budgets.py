@@ -130,47 +130,58 @@ def apply_budgets(
         ce += r["n_extr"]
 
     spark = records.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (s, read_off[s], trunc_off[s], extr_off[s])
-                for s in read_off
-            ],
-            "index_file_seq int, read_off long, trunc_off long, extr_off long",
+
+    # read-trip: cum_read = read_off(seq) + line_no + 1 is pure arithmetic,
+    # so the FIRST line where it reaches max_records is computed driver-side
+    # from the per-file offsets — no distributed work at all.
+    stop_candidates: list[int] = []
+    if max_records <= 0:
+        stop_candidates.append(0)
+    elif max_records < LONG_MAX:
+        seqs = sorted(read_off)
+        for idx, s in enumerate(seqs):
+            nxt = read_off[seqs[idx + 1]] if idx + 1 < len(seqs) else cr
+            if read_off[s] < max_records <= nxt:
+                trip_line = max_records - read_off[s] - 1
+                stop_candidates.append((s << _POS_SHIFT) + trip_line)
+                break
+        if not stop_candidates and cr >= max_records:
+            # boundary: trip lands exactly past the last counted line
+            stop_candidates.append(((seqs[-1] + 1) << _POS_SHIFT))
+
+    # trunc/extr trips need running counts — but only over the SELECTED
+    # subset (a small fraction of the scan): the full stream is never
+    # shuffled, only selected rows move in the per-file window.
+    need_window = max_files_truncated < LONG_MAX or max_files_extracted < LONG_MAX
+    if need_window:
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, trunc_off[s], extr_off[s]) for s in trunc_off],
+                "index_file_seq int, trunc_off long, extr_off long",
+            )
         )
-    )
-    df = df.join(off_df, "index_file_seq")
-
-    # cum_read: pure arithmetic, no window (line_no covers dropped lines).
-    df = df.withColumn("cum_read", F.col("read_off") + F.col("line_no") + 1)
-
-    # cum_trunc / cum_extr: per-file running counts over the small subsets.
-    w = Window.partitionBy("index_file_seq").orderBy("line_no")
-    df = df.withColumn(
-        "cum_trunc",
-        F.col("trunc_off")
-        + F.sum(F.when(F.col("is_selected") & is_trunc, 1).otherwise(0)).over(w),
-    )
-    df = df.withColumn(
-        "cum_extr",
-        F.col("extr_off")
-        + F.sum(F.when(F.col("is_extract_branch"), 1).otherwise(0)).over(w),
-    )
-
-    trip = F.lit(False)
-    if max_records < LONG_MAX:
-        trip = trip | (F.col("cum_read") >= max_records)
-    if max_files_truncated < LONG_MAX:
-        trip = trip | (
-            F.col("is_selected") & is_trunc & (F.col("cum_trunc") >= max_files_truncated)
+        sel = df.where(F.col("is_selected")).join(off_df, "index_file_seq")
+        w = Window.partitionBy("index_file_seq").orderBy("line_no")
+        sel = sel.withColumn(
+            "cum_trunc",
+            F.col("trunc_off")
+            + F.sum(F.when(is_trunc, 1).otherwise(0)).over(w),
+        ).withColumn(
+            "cum_extr",
+            F.col("extr_off")
+            + F.sum(F.when(F.col("is_extract_branch"), 1).otherwise(0)).over(w),
         )
-    if max_files_extracted < LONG_MAX:
-        trip = trip | (
-            F.col("is_extract_branch") & (F.col("cum_extr") >= max_files_extracted)
-        )
+        trip = F.lit(False)
+        if max_files_truncated < LONG_MAX:
+            trip = trip | (is_trunc & (F.col("cum_trunc") >= max_files_truncated))
+        if max_files_extracted < LONG_MAX:
+            trip = trip | (
+                F.col("is_extract_branch") & (F.col("cum_extr") >= max_files_extracted)
+            )
+        stop_row = sel.where(trip).agg(F.min("pos").alias("stop")).collect()[0]
+        if stop_row["stop"] is not None:
+            stop_candidates.append(stop_row["stop"])
 
-    stop_row = df.where(trip).agg(F.min("pos").alias("stop")).collect()[0]
-    stop = stop_row["stop"]
-    if stop is not None:
-        df = df.where(F.col("pos") < F.lit(stop))
-    return df.drop("read_off", "trunc_off", "extr_off", "cum_read", "cum_trunc", "cum_extr")
+    if stop_candidates:
+        df = df.where(F.col("pos") < F.lit(min(stop_candidates)))
+    return df

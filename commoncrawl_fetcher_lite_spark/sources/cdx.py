@@ -29,6 +29,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import re
 from typing import Iterable
 
 import pandas as pd
@@ -65,6 +66,7 @@ def expand_index_paths(
     paths: Iterable[str],
     max_index_files: int | None = None,
     read_bytes=None,
+    validate_literal: bool = False,
 ) -> list[str]:
     """Driver-side expansion of index path lists (S1+S3).
 
@@ -92,6 +94,10 @@ def expand_index_paths(
                     continue
                 out.append(line if os.path.isabs(line) else os.path.join(base, line))
         else:
+            if validate_literal and not re.search(INDEX_PATH_RE, p):
+                # IndexIterator.java:133-166: literal paths must look like
+                # indexes/cdx-NNNNN.gz, else the run aborts
+                raise ValueError(f"invalid index path: {p}")
             out.append(p)
         if max_index_files is not None and len(out) >= max_index_files:
             out = out[:max_index_files]

