@@ -303,8 +303,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (scale path): banded bucket join +
-    exact Jaccard verify. Non-SQL-expressible (xxhash64 signatures) —
-    rows-only driver check; pytest asserts candidates ⊇ true pairs."""
+    exact Jaccard verify. Oracle: exact all-pairs Jaccard ≥ 0.5 — with
+    bands=32/num_perm=64 the per-pair miss probability at the corpus's
+    J≥0.9 true pairs is ~1e-23, so LSH-verified == exact truth; pytest
+    additionally proves set equality on a controlled corpus."""
     from commoncrawl_fetcher_lite_spark.operators.dedup import (
         minhash_lsh_candidates,
         verify_jaccard,
@@ -318,7 +320,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 near-dup pairs (rows-only check)."""
+    """SimHash Hamming-≤3 near-dup pairs. Oracle: exact all-pairs hamming
+    over the same md5-prefix token-hash SimHash computed in pure SQL
+    (bit-vote per bit position); candidate recall is exact by pigeonhole
+    (4 chunks for ≤3 differing bits), so LSH-bucketed == all-pairs."""
     from commoncrawl_fetcher_lite_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -448,9 +453,10 @@ def oracle_sql() -> dict[str, str]:
             WITH cdx AS ({_CDX_VIEW_SQL})
             SELECT mime,
                    count(*) AS total,
-                   sum(CASE WHEN coalesce(truncated,'') <> '' THEN 1 ELSE 0 END) AS truncated,
-                   count(*) - sum(CASE WHEN coalesce(truncated,'') <> '' THEN 1 ELSE 0 END)
-                       AS non_truncated
+                   CAST(sum(CASE WHEN coalesce(truncated,'') <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS truncated,
+                   CAST(count(*) - sum(CASE WHEN coalesce(truncated,'') <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS non_truncated
             FROM cdx GROUP BY mime
         """,
         "selector": f"""
@@ -542,7 +548,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT user_id,
-                   sum(new_sess) AS n_sessions,
+                   CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,
@@ -659,6 +665,47 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
                    FROM f3)
             SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "minhash_lsh": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                   FROM t WHERE len(w) >= 3)
+            SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s)) * 1.0
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+            WHERE j >= 0.5
+        """,
+        "simhash_neardup": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hi,
+                       CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS lo
+                FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, b.bit AS bit,
+                       sum(CASE WHEN (CASE WHEN b.bit < 32
+                                           THEN (lo >> b.bit) & 1
+                                           ELSE (hi >> (b.bit - 32)) & 1 END) = 1
+                                THEN 1 ELSE -1 END) > 0 AS s
+                FROM h CROSS JOIN range(64) AS b(bit)
+                GROUP BY doc_id, b.bit
+            )
+            SELECT id_a, id_b, CAST(hd AS INTEGER) AS hamming FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hd
+                FROM votes a JOIN votes b ON a.bit = b.bit AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id) p
+            WHERE hd <= 3
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

@@ -25,8 +25,6 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -48,16 +46,21 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # Guard: for docs with < n tokens, sequence(1, size-(n-1)) would be the
+    # DESCENDING sequence [1, 0] and slice(toks, 0, n) throws
+    # INVALID_PARAMETER_VALUE.START, aborting the job. CaseWhen branches are
+    # lazy, so the sequence never materializes for short docs.
     return let(
         F.split(F.trim(c), r"\s+"),
-        lambda toks: F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))
-                ),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -164,9 +167,12 @@ def minhash_lsh_candidates(
     buckets = sh.select("id", F.explode(bands_expr).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
-    # persist: the self-join would otherwise run the whole shingle→minhash
-    # pipeline twice (once per side). Bucket rows are tiny (id + 2 longs).
-    buckets = buckets.persist()
+    # materialize once: the self-join would otherwise run the whole
+    # shingle→minhash pipeline twice (once per side). localCheckpoint
+    # instead of persist: stored blocks are GC-managed by ContextCleaner,
+    # so long sessions don't accumulate CacheManager entries that only an
+    # explicit unpersist (impossible on a lazily returned frame) would free.
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -237,61 +243,66 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- simhash
 
 
+def portable_token_hashes(text_col: Column | str) -> Column:
+    """64-bit token hashes built from md5 hex prefixes, entirely JVM-side.
+
+    md5 produces identical hex in Spark and DuckDB, so SimHash over these
+    hashes is oracle-checkable cross-engine (xxhash64 is Spark-only). The
+    two 32-bit halves are parsed separately with conv() and packed with a
+    wrapping shiftleft (Java shift semantics) into one signed int64 whose
+    bit pattern equals the first 16 hex chars of md5(token)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    md5s = F.transform(toks, lambda w: F.md5(w))
+    return F.transform(
+        md5s,
+        lambda h: F.shiftleft(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+    )
+
+
+def _simhash_pack_udf():
+    """Bit-vote packing: token hashing already happened JVM-side; Python
+    sees only int64 arrays and does one (n_tokens × 64) numpy sign-sum per
+    row — Arrow-batched, no per-token Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def pack(th: pd.Series) -> pd.Series:
+        out = np.zeros(len(th), dtype=np.uint64)
+        for i, arr in enumerate(th):
+            if arr is None or len(arr) == 0:
+                continue
+            hs = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            votes = (bits * 2 - 1).sum(axis=0)
+            out[i] = np.bitwise_or.reduce((votes > 0).astype(np.uint64) << shifts)
+        return pd.Series(out.view(np.int64))
+
+    return pack
+
+
 def with_simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of token-hash bits, packed with
-    vectorized numpy inside mapInPandas (bit-twiddling is the one step
-    Catalyst can't express cleanly)."""
+    """64-bit SimHash per doc: majority vote over token-hash bits.
+
+    Hashing is JVM-side (portable_token_hashes); the Arrow UDF only packs
+    votes (numpy, no per-token Python). Bit b is set iff strictly more
+    tokens have bit b set than clear — the same tie rule the DuckDB oracle
+    uses (sum of ±1 votes > 0)."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
 
     sel = spread_for_compute(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            portable_token_hashes(text_col).alias("th"),
+        )
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out_ids, out_sh = [], []
-            for rid, text in zip(pdf["id"], pdf["t"]):
-                toks = (text or "").split()
-                if not toks:
-                    out_ids.append(rid)
-                    out_sh.append(0)
-                    continue
-                # FNV-1a 64 per token, vectorized bit expansion
-                hs = np.array(
-                    [_fnv1a64(tk) for tk in toks], dtype=np.uint64
-                )
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = bits.astype(np.int64) * 2 - 1
-                agg = votes.sum(axis=0)
-                sh = np.uint64(0)
-                for i in np.nonzero(agg > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(i)
-                out_ids.append(rid)
-                out_sh.append(int(sh) - (1 << 64) if sh >= (1 << 63) else int(sh))
-            yield pd.DataFrame({"id": out_ids, "simhash": out_sh})
-
-    return sel.mapInPandas(
-        run,
-        schema=T.StructType(
-            [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
-        ),
-    )
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    # FNV avalanche is weak (near-identical strings give correlated bits,
-    # which collapses SimHash distances) — finalize with splitmix64 mixing
-    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return h ^ (h >> 31)
+    return sel.select("id", _simhash_pack_udf()(F.col("th")).alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -300,23 +311,40 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit chunk
-    bucketing (pigeonhole: ≤3 differing bits over 4 chunks → ≥1 identical
-    chunk), then exact popcount verify — both JVM-side."""
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via chunk
+    bucketing, then exact popcount verify — both JVM-side.
+
+    Chunk count derives from the parameter: max_hamming+1 chunks guarantee
+    by pigeonhole that any pair within distance max_hamming shares ≥1
+    identical chunk (candidate recall is exact, not probabilistic)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    bounds = [(c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)]
     sh = with_simhash(docs, text_col, id_col)
+
+    def _chunk(lo: int, hi: int) -> Column:
+        width = hi - lo
+        shifted = F.shiftright(F.col("simhash"), lo)
+        if width >= 64:
+            return F.col("simhash")
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                _chunk(lo, hi).alias("chunk"),
             )
-            for c in range(4)
+            for c, (lo, hi) in enumerate(bounds)
         ]
     )
     buckets = sh.select("id", "simhash", F.explode(chunks).alias("c")).select(
         "id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk")
     )
-    buckets = buckets.persist()  # self-join would recompute simhash twice
+    # self-join would recompute simhash twice; localCheckpoint (not persist)
+    # so the blocks are GC-reclaimed once the result frame is dropped
+    buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

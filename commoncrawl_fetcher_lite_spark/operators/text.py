@@ -129,17 +129,21 @@ def fingerprints(
     Lexicographic string mins make the scheme portable across engines."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
+    # Guard: docs with < window tokens would make sequence(1, size-(w-1))
+    # the descending [1, 0] and slice(hashes, 0, w) throw — short docs must
+    # yield an empty fingerprint set instead (then dropped by the filter).
     fp_struct = let(
         F.transform(tokens(text_col), lambda w: F.md5(w)),
         lambda hashes: let(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-                    ),
-                    lambda i: F.array_min(F.slice(hashes, i, window)),
-                )
-            ),
+            F.when(
+                F.size(hashes) >= window,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+                        lambda i: F.array_min(F.slice(hashes, i, window)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
             lambda fp: F.struct(
                 F.size(fp).alias("n"), F.array_min(fp).alias("mn")
             ),

@@ -131,3 +131,45 @@ def test_lsh_ann_recall(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in es:
             assert abs(r["cos_sim"] - es[key]) < 1e-9
+
+
+def test_short_docs_do_not_crash_shingles(spark):
+    """Docs with fewer than n tokens must yield empty shingle sets, not a
+    descending-sequence slice() crash (sequence(1,0) → slice start 0)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, None),
+         (5, "three words here"), (6, "spark shuffles partition data now")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert pairs == []  # no shared 3-grams; the point is it doesn't throw
+    cand = minhash_lsh_candidates(df).collect()
+    assert cand == []
+    # simhash path also survives short/empty/null docs
+    sig = {r["id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert set(sig) == {1, 2, 3, 4, 5, 6}
+
+
+def test_simhash_max_hamming_validation(spark, neardup_docs):
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(neardup_docs, max_hamming=64)
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(neardup_docs, max_hamming=-1)
+
+
+def test_simhash_pigeonhole_recall_vs_allpairs(spark, neardup_docs):
+    """Chunk-bucketed pairs must equal brute-force all-pairs hamming pairs
+    (pigeonhole guarantee with max_hamming+1 chunks)."""
+    sig = {r["id"]: r["simhash"] for r in with_simhash(neardup_docs).collect()}
+    ids = sorted(sig)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 8:
+                truth.add((a, b, d))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(neardup_docs, max_hamming=8).collect()
+    }
+    assert got == truth

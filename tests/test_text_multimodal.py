@@ -96,3 +96,17 @@ def test_extract_features_stub(spark):
     # deterministic
     rows2 = {r["media_id"]: r for r in extract_features(df).collect()}
     assert rows["m1"]["feature"] == rows2["m1"]["feature"]
+
+
+def test_fingerprints_short_docs(spark):
+    """Docs with fewer than `window` tokens yield an empty fingerprint set
+    (filtered out) instead of crashing on a descending sequence."""
+    from commoncrawl_fetcher_lite_spark.operators.text import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, None), (4, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    rows = fingerprints(df).collect()
+    assert [r["doc_id"] for r in rows] == [4]
+    assert all(r["n_fingerprints"] > 0 for r in rows)
