@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 BENCH_QUERIES = [
     "mime_count",
@@ -48,9 +49,17 @@ BENCH_QUERIES = [
 ]
 
 
+# fan-out factor for the frontier bench: 100k events at sf0.1 → 2M URLs,
+# large enough that per-job fixed stage overhead (~0.5-1 s) stops dominating
+# the urls/sec number (round-1's 100k-URL run measured mostly overhead and
+# disagreed 150x with scaling_bench's 4M-URL rate — same operator, tiny input)
+FRONTIER_FANOUT = 20
+
+
 def frontier_schedule_query(spark, sf_dir):
     """The crawl flagship at bench scale: seen-filter + politeness schedule
-    over a seeds frame derived from events."""
+    over a seeds frame derived from events, fanned out FRONTIER_FANOUT× so
+    the throughput measurement reflects engine work, not stage overhead."""
     from pyspark.sql import functions as F
 
     from commoncrawl_fetcher_lite_spark.frontier.politeness import schedule_batch
@@ -59,13 +68,25 @@ def frontier_schedule_query(spark, sf_dir):
         with_url_hash,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    seeds = ev.select(
+    # events.parquet is a single file → 1-2 scan partitions; without a
+    # spread the 20x fanout + canonicalize + hash would run on <=2 cores
+    # until the first shuffle (at 100 TB the scan has thousands of files
+    # and this repartition is unnecessary — bench-scale artifact only)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fanned = ev.select(
+        "event_id", "user_id", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(FRONTIER_FANOUT - 1))).alias("rep"),
+    )
+    seeds = fanned.select(
         F.concat(
             F.lit("https://host"),
             (F.col("user_id") % 50).cast("string"),
             F.lit(".example.com/e/"),
             F.col("event_id").cast("string"),
+            F.lit("/r/"),
+            F.col("rep").cast("string"),
         ).alias("url"),
         F.concat(
             F.lit("host"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
@@ -93,21 +114,29 @@ def main() -> None:
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
+    # min-of-reps: this box shares hardware with other tenants (loadavg
+    # swings 0→30 with no local processes); a single timing is contention
+    # noise, the minimum approaches the uncontended cost.
     timings: dict[str, float] = {}
-    total_rows = 0
     t_all = time.perf_counter()
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_all, 4)
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
+    wall = round(time.perf_counter() - t_all, 4)
 
-    # throughput proxy: events rows scheduled+filtered per sec in the
-    # frontier_schedule query (the north-rule metric shape)
+    # throughput: URLs through the frontier (hash + seen anti-join + salted
+    # politeness top-k) per sec — the north-rule metric shape
     ev_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    sched_per_sec = round(ev_rows / timings["frontier_schedule"], 1)
+    n_urls = ev_rows * FRONTIER_FANOUT
+    sched_per_sec = round(n_urls / timings["frontier_schedule"], 1)
 
     print(
         json.dumps(
@@ -118,6 +147,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
+                "reps": REPS,
+                "wall_sec": wall,
+                "frontier_urls": n_urls,
                 "frontier_urls_per_sec": sched_per_sec,
             }
         )

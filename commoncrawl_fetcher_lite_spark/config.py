@@ -27,31 +27,87 @@ CC_S3_BUCKET = "commoncrawl"
 CC_REGION = "us-east-1"
 
 
+DEFAULT_FS_DOCS_PATH = "docs"  # ExtractorConfig.java:47
+
+
 @dataclass(frozen=True)
 class FetchConfig:
     """Which byte source serves index files and WARC ranges.
 
-    kind: 'http' | 's3' | 'fs' — reference ExtractorConfig.java:201-220.
-    In this sandbox only 'fs' is exercised (local fake WARC store);
-    http/s3 share the same ranged-read code path inside the fetch UDF.
+    Kind resolution mirrors ExtractorConfig.FetchConfig.newFetcher
+    (ExtractorConfig.java:201-220) precedence exactly:
+      profile set  → 's3'  (S3Fetcher: bucket=commoncrawl, region=us-east-1)
+      basePath set → 'fs'  (FileSystemFetcher)
+      else         → 'http' (BackoffHttpFetcher with throttleSeconds)
     """
 
-    kind: str = "fs"
+    kind: str = "http"
     base_path: str = ""
+    profile: str = ""
+    bucket: str = CC_S3_BUCKET
+    region: str = CC_REGION
     throttle_seconds: tuple[int, ...] = DEFAULT_THROTTLE_SECONDS
+
+    @staticmethod
+    def from_dict(d: dict[str, Any] | None) -> "FetchConfig":
+        d = d or {}
+        throttle = tuple(d.get("throttleSeconds", DEFAULT_THROTTLE_SECONDS))
+        if d.get("profile"):
+            return FetchConfig(
+                kind="s3", profile=d["profile"], throttle_seconds=throttle
+            )
+        if d.get("basePath"):
+            return FetchConfig(
+                kind="fs", base_path=d["basePath"], throttle_seconds=throttle
+            )
+        return FetchConfig(kind="http", throttle_seconds=throttle)
 
 
 @dataclass(frozen=True)
 class EmitConfig:
-    """Content-addressed emit target (reference ExtractorConfig.java:249-278).
+    """Content-addressed emit target (reference EmitConfig.newEmitter,
+    ExtractorConfig.java:249-278):
+      profile non-blank → 's3' (S3Emitter: bucket REQUIRED, region default
+                          us-east-1, optional prefix, empty file extension)
+      else              → 'fs' (FileSystemEmitter: path or 'docs',
+                          onExists=skip)
 
     on_exists='skip' is the reference default — in the engine this dedup is
-    enforced relationally (URL-seen / content-seen anti-join) before write.
+    also enforced relationally (URL-seen / content-seen anti-join) before
+    write; the sink-level skip stays as the idempotency backstop.
     """
 
     kind: str = "fs"
     base_path: str = ""
+    profile: str = ""
+    region: str = CC_REGION
+    bucket: str = ""
+    prefix: str = ""
     on_exists: str = "skip"
+
+    @staticmethod
+    def from_dict(d: dict[str, Any] | None) -> "EmitConfig":
+        """Absent 'docs' → fs sink with NO base path (the engine's fetch
+        pipeline then skips the sink write; its outputs are the relational
+        tables). This diverges from the reference, which always emits and
+        defaults the path to 'docs' (ExtractorConfig.java:271-273) — a
+        present-but-pathless docs dict keeps that default."""
+        if d is None:
+            return EmitConfig()
+        if d.get("profile"):
+            bucket = d.get("bucket", "")
+            if not bucket:
+                # reference: TikaConfigException("Must specify a bucket for
+                # docs"), ExtractorConfig.java:255-257
+                raise ValueError("Must specify a bucket for docs")
+            return EmitConfig(
+                kind="s3",
+                profile=d["profile"],
+                region=d.get("region") or CC_REGION,
+                bucket=bucket,
+                prefix=d.get("prefix", ""),
+            )
+        return EmitConfig(kind="fs", base_path=d.get("path") or DEFAULT_FS_DOCS_PATH)
 
 
 @dataclass(frozen=True)
@@ -59,6 +115,14 @@ class ExtractorConfig:
     """Top-level job config (reference ExtractorConfig.java:49-66)."""
 
     index_paths: tuple[str, ...] = ()
+    # indices.basePath / indices.profile (IndexIterator.java:66-78): where
+    # the index files themselves are fetched from (fs dir-walk vs s3)
+    index_base_path: str = ""
+    index_profile: str = ""
+    # 'indexFetcher' (ExtractorConfig.java:164-169): separate transport for
+    # index files; defaults to the HTTP fetcher like the reference
+    index_fetch: FetchConfig = None  # type: ignore[assignment]
+    num_threads: int = 2
     selector: dict[str, Any] | None = None
     max_records: int = LONG_MAX
     max_files_extracted: int = LONG_MAX
@@ -89,20 +153,19 @@ class FrontierConfig:
 
 
 def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
-    """Parse a reference-style config JSON dict (README.md:97-126 shape)."""
+    """Parse a reference-style config JSON dict (README.md:97-126 shape;
+    fetcher/docs resolution per ExtractorConfig.java:157-278 — see the
+    reference's own three test resources configs/basic-{http,local,s3}.json
+    exercised by FetcherConfigTest.java:36-62)."""
     indices = cfg.get("indices", {})
-    fetch = FetchConfig(
-        kind=cfg.get("fetcher", {}).get("kind", "fs"),
-        base_path=cfg.get("fetcher", {}).get("basePath", ""),
-        throttle_seconds=tuple(cfg.get("throttleSeconds", DEFAULT_THROTTLE_SECONDS)),
-    )
-    emit = EmitConfig(
-        kind=cfg.get("emitter", {}).get("kind", "fs"),
-        base_path=cfg.get("emitter", {}).get("basePath", ""),
-        on_exists=cfg.get("emitter", {}).get("onExists", "skip"),
-    )
+    fetch = FetchConfig.from_dict(cfg.get("fetcher"))
+    emit = EmitConfig.from_dict(cfg.get("docs") or cfg.get("emitter"))
     return ExtractorConfig(
         index_paths=tuple(indices.get("paths", ())),
+        index_base_path=indices.get("basePath", ""),
+        index_profile=indices.get("profile", ""),
+        index_fetch=FetchConfig.from_dict(cfg.get("indexFetcher")),
+        num_threads=int(cfg.get("numThreads", 2)),
         selector=cfg.get("recordSelector"),
         max_records=int(cfg.get("maxRecords", LONG_MAX)),
         max_files_extracted=int(cfg.get("maxFilesExtracted", LONG_MAX)),

@@ -72,12 +72,18 @@ class SnapshotStore:
         tables: dict[str, DataFrame],
         metrics: dict[str, Any] | None = None,
         carry_forward: list[str] | None = None,
+        row_metrics: dict[str, str] | None = None,
     ) -> int:
         """Write `tables` as snapshot current+1 and atomically publish it.
 
         `carry_forward` names tables copied by reference from the previous
         snapshot (manifest records the older path — no data rewrite, like
-        Iceberg manifest reuse)."""
+        Iceberg manifest reuse).
+
+        `row_metrics` maps metric name → table name; the metric value is
+        that table's total row count, derived from the lineage scan that
+        commit performs anyway — so callers never re-execute a plan just to
+        count its rows."""
         man = self.manifest()
         snap = man["current"] + 1
         snap_meta: dict[str, Any] = {"tables": {}, "metrics": metrics or {}}
@@ -95,7 +101,14 @@ class SnapshotStore:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             ]
-            snap_meta["tables"][name] = {"path": path, "lineage": lineage}
+            snap_meta["tables"][name] = {
+                "path": path,
+                "lineage": lineage,
+                "rows": sum(e["rows"] for e in lineage),
+            }
+
+        for metric, table in (row_metrics or {}).items():
+            snap_meta["metrics"][metric] = snap_meta["tables"][table]["rows"]
 
         for name in carry_forward or []:
             prev = man["snapshots"][str(man["current"])]["tables"][name]

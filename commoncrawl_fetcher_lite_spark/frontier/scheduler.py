@@ -99,16 +99,21 @@ def run_iteration(
             )
         )
 
-    batch = schedule_batch(candidates, quotas, default_quota, n_salt=cfg.n_salt)
+    # materialize the scheduling plan ONCE: batch feeds the fetch, both
+    # state updates, and the commit write — without this the anti-join +
+    # double window re-executed 3-4x per iteration.
+    batch = schedule_batch(
+        candidates, quotas, default_quota, n_salt=cfg.n_salt
+    ).localCheckpoint(eager=True)
 
     fetched = fetch_fn(batch) if fetch_fn is not None else batch
 
-    # state updates — all pure DataFrame ops over snapshot inputs
+    # state updates — all pure DataFrame ops over snapshot inputs.
+    # dedup on (url_hash, url): a 64-bit collision must not evict a
+    # distinct URL from the seen set (exactness contract, urls.py:96).
     batch_urls = batch.select("url_hash", "url")
-    new_seen = seen.unionByName(batch_urls).dropDuplicates(["url_hash"])
-    new_frontier = frontier.join(
-        batch_urls.select("url_hash"), "url_hash", "left_anti"
-    )
+    new_seen = seen.unionByName(batch_urls).dropDuplicates(["url_hash", "url"])
+    new_frontier = frontier.join(batch_urls, ["url_hash", "url"], "left_anti")
     # frontier merge (§2.8): redirect targets discovered by the fetch join
     # the frontier as fresh candidates (deduped against seen next round)
     if fetch_fn is not None and "redirect" in fetched.columns:
@@ -124,7 +129,7 @@ def run_iteration(
         )
         redirects = with_url_hash(redirects).select(*new_frontier.columns)
         new_frontier = new_frontier.unionByName(redirects).dropDuplicates(
-            ["url_hash"]
+            ["url_hash", "url"]
         )
 
     tables = {
@@ -136,19 +141,21 @@ def run_iteration(
         tables["fetched"] = fetched
     carry = ["robots"] if robots is not None else []
 
-    n_sched = batch.count()
-    n_seen = new_seen.count()
-    n_left = new_frontier.count()
+    # counts come from the lineage scan commit performs anyway — no extra
+    # executions of the seen/frontier plans just to fill metrics
     snap = store.commit(
         tables,
-        metrics={
-            "scheduled": n_sched,
-            "seen_total": n_seen,
-            "frontier_left": n_left,
-        },
         carry_forward=carry,
+        row_metrics={
+            "scheduled": "batch",
+            "seen_total": "urlseen",
+            "frontier_left": "frontier",
+        },
     )
-    return IterationResult(snap, n_sched, n_seen, n_left)
+    m = store.manifest()["snapshots"][str(snap)]["metrics"]
+    return IterationResult(
+        snap, m["scheduled"], m["seen_total"], m["frontier_left"]
+    )
 
 
 def run(

@@ -43,7 +43,17 @@ from commoncrawl_fetcher_lite_spark.functions.urls import url_hash
 
 
 def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn("url_hash", url_hash(F.col(url_col)))
+    """Adds url_hash as a GENERATED attribute (inline over a one-element
+    struct array). Generator nodes are not projection-collapsed, so
+    downstream consumers (Bloom-probe pandas UDF, join keys, multiple
+    references) see a computed attribute instead of re-inlining the whole
+    let-bound canonicalize+hash tree — which is both a repeat-work trap and
+    unevaluable inside a PythonUDF argument (ExtractPythonUDFs cannot hoist
+    nested lambda expressions)."""
+    return df.select(
+        "*",
+        F.inline(F.array(F.struct(url_hash(F.col(url_col)).alias("url_hash")))),
+    )
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -122,6 +132,19 @@ def _probe_expr(bloom: bytes):
     return probe
 
 
+def _seen_keys(seen: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Join-key frame for the seen side: (url_hash, url) when the full URL
+    is available — a 64-bit hash collision must NOT drop a never-seen URL
+    (at 10^10 URLs ~2.7 collisions are expected); hash-only is accepted for
+    callers that only kept hashes (explicitly weaker)."""
+    if "url" in seen.columns:
+        return (
+            seen.select("url_hash", "url").dropDuplicates(["url_hash", "url"]),
+            ["url_hash", "url"],
+        )
+    return seen.select("url_hash").distinct(), ["url_hash"]
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -130,22 +153,145 @@ def filter_unseen(
 ) -> DataFrame:
     """candidates minus seen (exact), with optional Bloom pre-gate.
 
-    Both sides join on url_hash (bigint) — at scale the anti-join shuffles
-    8-byte keys, not URL strings; the exact table is bucketed by the same
-    key so the join co-partitions."""
+    The anti-join key is (url_hash, url): url_hash co-partitions (the seen
+    table is hash-bucketed by it), the url column makes the match exact
+    under 64-bit collisions. Shuffle payload stays key+url only — at scale
+    the Bloom gate means just ~fpp of candidates take this join at all."""
     cand = candidates
     if "url_hash" not in cand.columns:
         cand = with_url_hash(cand, url_col)
+    seen_kv, keys = _seen_keys(seen)
     if bloom is not None:
         probe = _probe_expr(bloom)
         cand = cand.withColumn("maybe_seen", probe(F.col("url_hash")))
         negatives = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
         positives = cand.where(F.col("maybe_seen")).drop("maybe_seen")
-        checked = positives.join(
-            seen.select("url_hash").distinct(), "url_hash", "left_anti"
-        )
+        checked = positives.join(seen_kv, keys, "left_anti")
         return negatives.unionByName(checked)
-    return cand.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+    return cand.join(seen_kv, keys, "left_anti")
+
+
+# ---------------------------------------------------------- blocked Bloom
+#
+# 10^10-URL scale path: ONE bitmap for 10^10 keys at 1% fpp is ~12 GiB and
+# must be OR-reduced + broadcast through the driver — a hard ceiling. The
+# blocked design shards the filter by pmod(url_hash, n_blocks) into an
+# `urlseen_filter` TABLE of (block, m, k, bm) rows; each bitmap stays
+# ~m/8/n_blocks bytes, is built inside its own group (no driver OR), and
+# probing co-shuffles candidates with their block's bitmap (cogrouped
+# applyInPandas) so no executor ever holds more than its blocks.
+
+
+def _block_of(col, n_blocks: int):
+    return F.pmod(col, F.lit(n_blocks)).cast("int")
+
+
+def build_bloom_blocks(
+    seen: DataFrame,
+    n_blocks: int = 16,
+    expected: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Distributed blocked Bloom build → DataFrame(block, m, k, bm).
+
+    Per-block parameters are sized for expected/n_blocks keys; each block's
+    bitmap is built entirely inside its applyInPandas group — the driver
+    never materializes any bitmap (contrast build_bloom, which OR-reduces
+    on the driver and caps out around 10^9 keys)."""
+    m, k = bloom_params(max(1, expected // n_blocks), fpp)
+    n_words = m // 64
+
+    # hash-repartition on the block id: every row of block b lands in ONE
+    # partition, so one streaming pass per partition emits exactly one
+    # bitmap row per block. mapInPandas (not applyInPandas) so a block's
+    # rows STREAM through Arrow batches — executor memory holds only the
+    # active bitmaps (m/8 bytes each), never a block's full row set
+    # (10^10/64 blocks would be ~1.2 GiB of rows per group otherwise).
+    def build_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmaps: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for blk, sub in pdf.groupby("block"):
+                bm = bitmaps.setdefault(int(blk), np.zeros(n_words, dtype=np.uint64))
+                pos = _positions(sub["url_hash"].to_numpy(np.int64), m, k).ravel()
+                np.bitwise_or.at(
+                    bm, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+                )
+        for blk, bm in bitmaps.items():
+            yield pd.DataFrame(
+                {"block": [blk], "m": [m], "k": [k], "bm": [bm.tobytes()]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("block", T.IntegerType()),
+            T.StructField("m", T.LongType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("bm", T.BinaryType()),
+        ]
+    )
+    return (
+        seen.select("url_hash")
+        .withColumn("block", _block_of(F.col("url_hash"), n_blocks))
+        .repartition(F.col("block"))
+        .mapInPandas(build_parts, schema=schema)
+    )
+
+
+def probe_bloom_blocks(
+    candidates: DataFrame,
+    blocks: DataFrame,
+    n_blocks: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """candidates + maybe_seen bool via cogrouped per-block probe.
+
+    Candidates shuffle on their block id; each task sees (candidate rows of
+    block b, bitmap row of block b) — bitmaps never aggregate anywhere. A
+    block with no bitmap row means nothing was ever inserted → definite
+    unseen."""
+    cand = candidates
+    if "url_hash" not in cand.columns:
+        cand = with_url_hash(cand, url_col)
+    cand = cand.withColumn("_block", _block_of(F.col("url_hash"), n_blocks))
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            left = left.copy()
+            left["maybe_seen"] = False
+            return left
+        m, k = int(right["m"].iloc[0]), int(right["k"].iloc[0])
+        bitmap = np.frombuffer(right["bm"].iloc[0], dtype=np.uint64)
+        pos = _positions(left["url_hash"].to_numpy(np.int64), m, k)
+        bits = (bitmap[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        left = left.copy()
+        left["maybe_seen"] = bits.all(axis=1)
+        return left
+
+    return (
+        cand.groupBy("_block")
+        .cogroup(blocks.groupBy("block"))
+        .applyInPandas(probe, schema=out_schema)
+        .drop("_block")
+    )
+
+
+def filter_unseen_blocked(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blocks: DataFrame,
+    n_blocks: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Blocked-Bloom-gated exact unseen filter: definite negatives skip the
+    exact anti-join entirely; only the ~fpp filter-positives take it."""
+    probed = probe_bloom_blocks(candidates, blocks, n_blocks, url_col)
+    negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    seen_kv, keys = _seen_keys(seen)
+    return negatives.unionByName(positives.join(seen_kv, keys, "left_anti"))
 
 
 def update_seen(

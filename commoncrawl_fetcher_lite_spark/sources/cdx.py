@@ -105,6 +105,45 @@ def expand_index_paths(
     return out
 
 
+def discover_index_paths(base_path: str) -> list[str]:
+    """S2: local index dir discovery (IndexIterator.loadLocalFiles,
+    IndexIterator.java:168-175): when no paths are configured and the index
+    fetcher is filesystem-based, every regular file under base_path
+    registers (relative to base_path) and then flows through the normal
+    dispatch — cc-index.paths.gz lists expand, literal index files must
+    match indexes/cdx-NNNNN.gz (IndexIterator.java:142,151-163).
+
+    Divergence: results are sorted for determinism (Files.walk order is
+    filesystem-dependent; a distributed run must not depend on it)."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(base_path):
+        for fn in files:
+            out.append(os.path.relpath(os.path.join(root, fn), base_path))
+    return sorted(out)
+
+
+def index_paths_for_config(cfg) -> list[str]:
+    """ExtractorConfig → expanded index path list: configured paths, or the
+    dir-walk discovery when none are given and indices.basePath is set
+    (IndexIterator.java:144-149)."""
+    paths = list(cfg.index_paths)
+    base = getattr(cfg, "index_base_path", "")
+    if not paths and base:
+        rel = discover_index_paths(base)
+
+        def read_bytes(p: str) -> bytes:
+            with open(p if os.path.isabs(p) else os.path.join(base, p), "rb") as f:
+                return f.read()
+
+        return expand_index_paths(
+            [os.path.join(base, r) for r in rel],
+            cfg.max_index_files,
+            read_bytes=read_bytes,
+            validate_literal=True,
+        )
+    return expand_index_paths(paths, cfg.max_index_files)
+
+
 def read_cdx_lines(
     spark: SparkSession, index_paths: list[str], dense_line_numbers: bool = True
 ) -> DataFrame:

@@ -86,3 +86,110 @@ def local_fs_transport(path_resolver: Callable[[str], str]):
             return f.read((end - start + 1) if end is not None else None)
 
     return transport
+
+
+def http_transport(
+    base: str = CC_HTTPS_BASE,
+    timeout: float = 120.0,
+    opener: Callable | None = None,
+):
+    """Ranged HTTP GET transport (urllib) matching BackoffHttpFetcher:
+
+    * key prefixing per getUrl (BackoffHttpFetcher.java:63-72): keys not
+      starting with 'http' get the CC https base, with or without their own
+      leading '/'.
+    * byte ranges via the standard Range header (HttpFetcher range fetch,
+      used by BackoffHttpFetcher.java:56-61).
+    * non-2xx surfaces as an exception whose message carries
+      'bad status code: <n>' — the exact string the backoff ladder parses
+      (BackoffHttpFetcher.java:84-92) — plus a .status attribute.
+
+    `opener` is the unit-test seam (defaults to urllib.request.urlopen);
+    real runs need no extra dependency."""
+    import urllib.error
+    import urllib.request
+
+    open_fn = opener or urllib.request.urlopen
+
+    def transport(key: str, start: int | None, end: int | None) -> bytes:
+        if key.startswith("http"):
+            url = key
+        elif key.startswith("/"):
+            url = base + key
+        else:
+            url = f"{base}/{key}"
+        req = urllib.request.Request(url)
+        if start is not None:
+            req.add_header(
+                "Range", f"bytes={start}-{'' if end is None else end}"
+            )
+        try:
+            with open_fn(req, timeout=timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            err = OSError(f"bad status code: {e.code}")
+            err.status = e.code
+            raise err from e
+
+    return transport
+
+
+def s3_transport(client, bucket: str = "commoncrawl"):
+    """Ranged S3 GET transport over a boto3-shaped client (the reference's
+    scale path: S3Fetcher with bucket=commoncrawl / region=us-east-1,
+    ExtractorConfig.java:201-209; ~50 S3 threads vs ~3 HTTP per
+    README.md:171-172).
+
+    Accepts any object exposing get_object(Bucket=, Key=, Range=) returning
+    {'Body': file-like} — real boto3 client or a test fake. Throttling
+    (SlowDown / 503) raises with .status == 503 so BackoffFetcher ladders."""
+
+    def transport(key: str, start: int | None, end: int | None) -> bytes:
+        key = key.lstrip("/")
+        kwargs = {"Bucket": bucket, "Key": key}
+        if start is not None:
+            kwargs["Range"] = f"bytes={start}-{'' if end is None else end}"
+        try:
+            resp = client.get_object(**kwargs)
+        except Exception as e:  # noqa: BLE001 — classify botocore-shaped errors
+            code = getattr(e, "response", {}).get("ResponseMetadata", {}).get(
+                "HTTPStatusCode"
+            )
+            err_code = getattr(e, "response", {}).get("Error", {}).get("Code")
+            if code == 503 or err_code in ("SlowDown", "503"):
+                err = OSError("bad status code: 503")
+                err.status = 503
+                raise err from e
+            raise
+        return resp["Body"].read()
+
+    return transport
+
+
+def make_s3_client(profile: str, region: str = "us-east-1"):
+    """Real boto3 client from a named profile (S3Fetcher.setProfile /
+    setCredentialsProvider('profile'), ExtractorConfig.java:204-208).
+    boto3 is not installed in this sandbox — import-gated; tests use
+    s3_transport with a fake client instead."""
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - sandbox has no boto3
+        raise NotImplementedError(
+            "boto3 not available in this environment; pass a client fake to "
+            "s3_transport instead"
+        ) from e
+    session = boto3.Session(profile_name=profile, region_name=region)
+    return session.client("s3")
+
+
+def transport_for(cfg, path_resolver: Callable[[str], str] | None = None):
+    """FetchConfig → transport, mirroring newFetcher's precedence
+    (ExtractorConfig.java:201-220): s3 (profile) / fs (basePath) / http."""
+    if cfg.kind == "s3":
+        return s3_transport(make_s3_client(cfg.profile, cfg.region), cfg.bucket)
+    if cfg.kind == "fs":
+        import os
+
+        resolver = path_resolver or (lambda k: os.path.join(cfg.base_path, k))
+        return local_fs_transport(resolver)
+    return http_transport()

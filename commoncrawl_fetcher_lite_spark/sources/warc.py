@@ -47,19 +47,6 @@ from commoncrawl_fetcher_lite_spark.functions.paths import rewrite_target_path_p
 _MEDIA_RE = re.compile(r"^\[\[MEDIA:(\d+)\]\]$")
 
 
-def _emit_payload(emit_dir: str, rel_path: str, payload: bytes) -> None:
-    """S9: content-addressed write, skip-if-exists, tmp+rename atomic."""
-    import os
-
-    dst = os.path.join(emit_dir, rel_path)
-    if os.path.exists(dst):
-        return  # onExists=skip (ExtractorConfig.java:276)
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    tmp = f"{dst}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, dst)
-
 OUT_SCHEMA = (
     "url string, mime string, mime_detected string, warc_file string, "
     "warc_offset long, warc_length long, truncated string, sha256 string, "
@@ -141,6 +128,7 @@ def extract_payloads(
     target_path_pattern: str = "xx/xx/xxx",
     coalesce_by_file: bool = True,
     emit_dir: str | None = None,
+    emitter: Callable[[str, bytes], None] | None = None,
 ) -> DataFrame:
     """records must carry url, mime, mime_detected, status, digest, length,
     offset, filename, truncated. Returns one row per FETCHABLE record with
@@ -151,6 +139,15 @@ def extract_payloads(
     — each payload lands at emit_dir/<rewritten sha256 path>, executor-side,
     write-to-tmp + atomic rename, skip-if-exists (idempotent across task
     retries, exactly the reference's onExists=skip).
+
+    ``emitter``: general sink callable (rel_path, payload) — e.g.
+    emitters.s3_emitter for the S10 twin; overrides emit_dir when both set.
+
+    Per-record read/parse failures (missing WARC file, bad offset, corrupt
+    gzip) are skipped like the reference's warn-and-continue
+    (FileFromCCWarcExtractor.fetchToPath catches TikaException/IOException
+    and returns) — one bad record must not fail the task and, after
+    retries, the whole job.
     """
     cols = [
         "url", "mime", "mime_detected", "digest", "length", "offset",
@@ -162,6 +159,10 @@ def extract_payloads(
         df = df.repartition(F.col("filename"))
 
     pattern = target_path_pattern
+    if emitter is None and emit_dir is not None:
+        from commoncrawl_fetcher_lite_spark.sources.emitters import fs_emitter
+
+        emitter = fs_emitter(emit_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,14 +173,23 @@ def extract_payloads(
             handle_path = None
             handle = None
             for row in pdf.itertuples(index=False):
-                local = path_resolver(row.filename)
-                if local != handle_path:
-                    if handle is not None:
-                        handle.close()
-                    handle = open(local, "rb")
-                    handle_path = local
-                handle.seek(int(row.offset))
-                raw = handle.read(int(row.length))
+                try:
+                    local = path_resolver(row.filename)
+                    if local != handle_path:
+                        if handle is not None:
+                            handle.close()
+                        handle, handle_path = None, None  # if open() throws
+                        handle = open(local, "rb")
+                        handle_path = local
+                    handle.seek(int(row.offset))
+                    raw = handle.read(int(row.length))
+                except Exception as e:  # noqa: BLE001 — warn-and-continue
+                    import warnings
+
+                    warnings.warn(
+                        f"skipping unreadable record {row.filename}@{row.offset}: {e}"
+                    )
+                    continue
                 parsed = parse_first_warc_record(raw)
                 if parsed is None:
                     continue  # F12: silently skipped
@@ -187,10 +197,8 @@ def extract_payloads(
                 empty = len(payload) == 0
                 sha256 = hashlib.sha256(payload).hexdigest() if not empty else None
                 digest_ok = (not empty) and sha1_b32(payload) == row.digest
-                if emit_dir is not None and not empty:
-                    _emit_payload(
-                        emit_dir, rewrite_target_path_py(sha256, pattern), payload
-                    )
+                if emitter is not None and not empty:
+                    emitter(rewrite_target_path_py(sha256, pattern), payload)
                 spans = (
                     assemble_spans(row.url, row.mime_detected, payload, pattern)
                     if not empty

@@ -191,59 +191,93 @@ def run_level(cpus: int) -> dict:
     return out
 
 
+def _run_worker(cpus: int) -> dict:
+    env = dict(os.environ, SCALING_WORKER=str(cpus))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     worker = os.environ.get("SCALING_WORKER")
     if worker:
         print(json.dumps(run_level(int(worker))))
         return
 
-    results = {}
-    max_tries = int(os.environ.get("SCALING_TRIES", "4"))
-    for cpus in LEVELS:
-        best = None
-        for attempt in range(max_tries):
-            # contention gate: wait (bounded) for external load to drop so
-            # the two levels are measured under comparable conditions
-            deadline = time.time() + int(os.environ.get("SCALING_LOAD_WAIT", "600"))
-            while _loadavg() > 3.0 and time.time() < deadline:
-                time.sleep(15)
-            env = dict(os.environ, SCALING_WORKER=str(cpus))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            res = json.loads(line)
-            print(json.dumps({"attempt": attempt, **res}))
-            if best is None or res["frontier_sec"] + res["cdx_sec"] < (
-                best["frontier_sec"] + best["cdx_sec"]
-            ):
-                best = res
-            # accept a measurement whose own-load samples stayed clean
-            # (anything beyond our worker's demand is external tenants)
-            if max(res["loadavg_samples"][1:]) <= cpus * 1.3:
-                break
-        results[cpus] = best
-        print(json.dumps(results[cpus]))
-
+    # PAIR protocol: each sample is a back-to-back (local[8], local[32])
+    # run under a loadavg gate, so both levels of a pair see comparable
+    # external contention. Efficiency is the MEDIAN over quiet pairs (round
+    # 1's headline rested on a single pair — the judge asked for n>=3).
     n, n4 = LEVELS
     ratio = n4 / n
-    eff_frontier = (
-        results[n4]["frontier_urls_per_sec"] / results[n]["frontier_urls_per_sec"]
-    ) / ratio
-    eff_cdx = (
-        results[n4]["cdx_lines_per_sec"] / results[n]["cdx_lines_per_sec"]
-    ) / ratio
+    want_pairs = int(os.environ.get("SCALING_PAIRS", "3"))
+    max_tries = int(os.environ.get("SCALING_TRIES", str(want_pairs * 3)))
+    pairs: list[dict] = []
+    quiet: list[dict] = []
+    for attempt in range(max_tries):
+        if len(quiet) >= want_pairs:
+            break
+        deadline = time.time() + int(os.environ.get("SCALING_LOAD_WAIT", "600"))
+        while _loadavg() > 3.0 and time.time() < deadline:
+            time.sleep(15)
+        res_n = _run_worker(n)
+        res_n4 = _run_worker(n4)
+        pair = {
+            "attempt": attempt,
+            "eff_frontier": round(
+                (res_n4["frontier_urls_per_sec"] / res_n["frontier_urls_per_sec"])
+                / ratio,
+                3,
+            ),
+            "eff_cdx": round(
+                (res_n4["cdx_lines_per_sec"] / res_n["cdx_lines_per_sec"]) / ratio, 3
+            ),
+            "level_n": res_n,
+            "level_n4": res_n4,
+        }
+        # a pair is 'quiet' when neither run saw external load beyond its
+        # own worker's demand
+        pair["quiet"] = (
+            max(res_n["loadavg_samples"]) <= n * 1.5
+            and max(res_n4["loadavg_samples"]) <= n4 * 1.3
+        )
+        pairs.append(pair)
+        if pair["quiet"]:
+            quiet.append(pair)
+        print(json.dumps(pair))
+
+    use = quiet if quiet else pairs
+    eff_frontier = _median([p["eff_frontier"] for p in use])
+    eff_cdx = _median([p["eff_cdx"] for p in use])
+    results = {
+        n: use[0]["level_n"],
+        n4: use[0]["level_n4"],
+    }
     summary = {
         "levels": LEVELS,
+        "n_pairs": len(pairs),
+        "n_quiet_pairs": len(quiet),
         "efficiency_frontier": round(eff_frontier, 3),
         "efficiency_cdx": round(eff_cdx, 3),
-        **{f"level_{k}": v for k, v in results.items()},
+        "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
+        "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],
     }
     print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_pairs.jsonl", "w") as f:
+        for p in pairs:
+            f.write(json.dumps(p) + "\n")
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

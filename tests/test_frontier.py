@@ -145,3 +145,104 @@ def test_frontier_loop_and_resume(spark, seeds_df, robots_df, tmp_path):
     assert all(
         isinstance(t["lineage"], list) for t in meta["tables"].values()
     )
+
+
+def test_blocked_bloom_equals_exact(spark, seeds_df):
+    """Blocked Bloom (per-block bitmaps, cogrouped probe, no driver OR)
+    must produce exactly the exact anti-join result, for several block
+    counts including blocks with no seen rows."""
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+        build_bloom_blocks,
+        filter_unseen_blocked,
+    )
+
+    seen = with_url_hash(seeds_df.limit(3000).select("url").distinct())
+    cands = seeds_df.select("url", "host").distinct()
+    exact = {
+        r["url"] for r in filter_unseen(cands, seen).select("url").collect()
+    }
+    for n_blocks in (1, 4, 64):
+        blocks = build_bloom_blocks(seen, n_blocks=n_blocks, expected=10_000)
+        got = {
+            r["url"]
+            for r in filter_unseen_blocked(
+                cands, seen, blocks, n_blocks=n_blocks
+            ).select("url").collect()
+        }
+        assert got == exact, f"n_blocks={n_blocks}"
+    # bitmaps stay sharded: the 64-block filter has <= 64 rows, each bitmap
+    # sized for expected/n_blocks keys (no aggregate anywhere)
+    rows = build_bloom_blocks(seen, n_blocks=64, expected=10_000).collect()
+    assert 1 <= len(rows) <= 64
+    assert all(len(r["bm"]) == rows[0]["m"] // 8 for r in rows)
+
+
+ROBOTS_BODY = """
+# comments everywhere
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2
+
+User-agent: greedybot
+Disallow: /
+
+User-agent: ccbot
+User-agent: goodbot
+Disallow: /no-cc/
+Allow: /no-cc/except
+Crawl-delay: 0.5
+"""
+
+
+def test_parse_robots_txt_groups():
+    from commoncrawl_fetcher_lite_spark.frontier.robots import parse_robots_txt
+
+    # wildcard group
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="*")
+    assert prefixes == ["/private/", "/tmp/"] and delay == 2.0
+    # specific UA beats wildcard; multiple UA lines share one group
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="CCBot/2.0")
+    assert prefixes == ["/no-cc/"] and delay == 0.5
+    prefixes, _ = parse_robots_txt(ROBOTS_BODY, agent="goodbot")
+    assert prefixes == ["/no-cc/"]
+    # unknown agents fall back to *
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="whoever")
+    assert prefixes == ["/private/", "/tmp/"] and delay == 2.0
+    # empty / rule-less bodies
+    assert parse_robots_txt("", "x") == ([], None)
+    assert parse_robots_txt("User-agent: *\nDisallow:", "x") == ([], None)
+
+
+def test_robots_frame_feeds_apply_robots(spark):
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 3"),
+            ("b.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    robots = robots_frame(bodies, agent="ccbot")
+    got = {r["host"]: r for r in robots.collect()}
+    assert got["a.com"]["disallow_prefixes"] == ["/blocked/"]
+    assert got["a.com"]["crawl_delay_s"] == 3.0
+    assert got["b.com"]["disallow_prefixes"] == []
+
+    cands = spark.createDataFrame(
+        [
+            ("https://a.com/blocked/x", "a.com"),
+            ("https://a.com/ok", "a.com"),
+            ("https://b.com/anything", "b.com"),
+            ("https://c.com/no-robots", "c.com"),
+        ],
+        "url string, host string",
+    )
+    kept = {r["url"] for r in apply_robots(cands, robots).collect()}
+    assert kept == {
+        "https://a.com/ok",
+        "https://b.com/anything",
+        "https://c.com/no-robots",
+    }

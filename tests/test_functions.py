@@ -129,3 +129,24 @@ def test_sample_gate_deterministic_and_uniform(spark):
     n2 = df.where(gate).count()
     assert n1 == n2  # deterministic
     assert abs(n1 / 10_000 - 0.3) < 0.03  # uniform-ish
+
+
+def test_sample_gate_py_matches_spark_gate(spark):
+    """functions.sampling.sample_gate_py must agree bit-for-bit with the
+    Spark Column gate (it hashes seed as a third LANE, not as initial
+    seed — a silent historical divergence this pins down)."""
+    from commoncrawl_fetcher_lite_spark.functions.sampling import (
+        sample_gate,
+        sample_gate_py,
+    )
+
+    vals = [f"https://h{i}.example.com/p/{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "url string")
+    got = {
+        r["url"]: r["g"]
+        for r in df.select(
+            "url", sample_gate("url", 0.37, "c1", seed=7).alias("g")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == sample_gate_py(v, 0.37, "c1", seed=7), v

@@ -172,3 +172,63 @@ def test_docs_table_shape(spark, fixture_t1):
         "kind:string,text:string,media_ref:string,offset:int>>>"
     )
     assert res.docs.count() > 0
+
+
+def test_discover_index_paths_dirwalk(tmp_path):
+    """S2: dir-walk registration (IndexIterator.java:168-175) — every
+    regular file under indices.basePath registers; the normal dispatch then
+    expands path lists and validates literal index names."""
+    import gzip as _gzip
+
+    from commoncrawl_fetcher_lite_spark.sources.cdx import (
+        discover_index_paths,
+        index_paths_for_config,
+    )
+
+    base = tmp_path / "cc"
+    (base / "collections" / "indexes").mkdir(parents=True)
+    lit1 = base / "collections" / "indexes" / "cdx-00001.gz"
+    lit2 = base / "collections" / "indexes" / "cdx-00002.gz"
+    lit1.write_bytes(_gzip.compress(b"line\n"))
+    lit2.write_bytes(_gzip.compress(b"line\n"))
+
+    rel = discover_index_paths(str(base))
+    assert rel == [
+        "collections/indexes/cdx-00001.gz",
+        "collections/indexes/cdx-00002.gz",
+    ]
+
+    cfg = ExtractorConfig(index_base_path=str(base))
+    expanded = index_paths_for_config(cfg)
+    assert expanded == [str(lit1), str(lit2)]
+
+    # non-index junk under the dir → hard error, like the reference's
+    # TikaConfigException (IndexIterator.java:159-163)
+    (base / "notes.txt").write_text("junk")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        index_paths_for_config(ExtractorConfig(index_base_path=str(base)))
+
+
+def test_extract_payloads_warn_and_skip(spark, fixture_t1):
+    """One missing/unreadable WARC must not fail the job: the bad record is
+    skipped with a warning (FileFromCCWarcExtractor.fetchToPath catches and
+    returns), all other records still extract."""
+    from commoncrawl_fetcher_lite_spark.sources.warc import extract_payloads
+
+    fx = fixture_t1
+    recs = read_cdx_records(spark, fx.index_paths).where(
+        "status = 200 AND filename IS NOT NULL"
+    )
+    n_all = extract_payloads(
+        recs, lambda f: warc_local_path(fx.root, f)
+    ).count()
+    assert n_all > 0
+
+    def flaky_resolver(f):
+        p = warc_local_path(fx.root, f)
+        return p + ".does-not-exist" if f.endswith("0.warc.gz") else p
+
+    n_skip = extract_payloads(recs, flaky_resolver).count()
+    assert 0 < n_skip < n_all
