@@ -368,6 +368,67 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seeds_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "event_id",
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt end-to-end: synthesize per-host robots bodies, parse them
+    with frontier.robots.robots_frame (RFC 9309 grouping), drop candidates
+    under a disallow prefix via the broadcast robots join. Oracle
+    reimplements the EXPECTED block rule in SQL (even host index blocks
+    /e/1*), so the parser+filter pipeline is checked, not mirrored."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    seeds = _seeds_view(spark, sf_dir)
+    hosts = seeds.select("host").distinct()
+    body_even = (
+        "# synthetic\nUser-agent: greedybot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /e/1\nCrawl-delay: 2"
+    )
+    bodies = hosts.select(
+        "host",
+        F.when(
+            F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 2 == 0,
+            F.lit(body_even),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+        .alias("robots_txt"),
+    )
+    robots = robots_frame(bodies, agent="ccbot")
+    return apply_robots(seeds, robots).select("url")
+
+
+def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Bloom URL-seen gate (10^10 scale path): per-block bitmaps
+    built distributedly, cogrouped probe, exact anti-join only on filter
+    positives. The result is EXACT (the Bloom only gates), so the oracle is
+    the plain set-difference SQL."""
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+        build_bloom_blocks,
+        filter_unseen_blocked,
+        with_url_hash,
+    )
+
+    seeds = _seeds_view(spark, sf_dir)
+    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    blocks = build_bloom_blocks(seen, n_blocks=8, expected=50_000)
+    return filter_unseen_blocked(seeds, seen, blocks, n_blocks=8).select("url")
+
+
 def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language/source breakdown with avg doc length (pivot-style)."""
     docs = _t(spark, sf_dir, "documents")
@@ -435,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "knn_cosine": q_knn_cosine,
         "lang_breakdown": q_lang_breakdown,
+        "robots_filter": q_robots_filter,
+        "urlseen_blocked": q_urlseen_blocked,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh": q_minhash_lsh,
@@ -665,6 +728,24 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
                    FROM f3)
             SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "robots_filter": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+                       user_id % 20 AS hk,
+                       '/e/' || CAST(event_id AS VARCHAR) AS path
+                FROM events)
+            SELECT url FROM seeds
+            WHERE NOT (hk % 2 = 0 AND starts_with(path, '/e/1'))
+        """,
+        "urlseen_blocked": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+                       event_id
+                FROM events)
+            SELECT url FROM seeds WHERE event_id % 7 <> 0
         """,
         "minhash_lsh": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

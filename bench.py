@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "sessionize",
     "knn_cosine",
     "lang_breakdown",
+    "robots_filter",
+    "urlseen_blocked",
     "minhash_lsh",
     "simhash_neardup",
     "lsh_ann",

