@@ -309,12 +309,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally proves set equality on a controlled corpus."""
     from commoncrawl_fetcher_lite_spark.operators.dedup import (
         minhash_lsh_candidates,
+        shingle_frame,
         verify_jaccard,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, bands=32, num_perm=64)
-    return verify_jaccard(cand, docs, threshold=0.5).select(
+    # shingling runs ONCE (localCheckpoint) and feeds both the signature
+    # stage and the exact-verify joins — it's the dominant scan-side cost
+    sh = shingle_frame(docs).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, bands=32, num_perm=64, shingles=sh)
+    return verify_jaccard(cand, docs, threshold=0.5, shingles=sh).select(
         "id_a", "id_b", "jaccard"
     )
 
@@ -429,6 +433,27 @@ def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen_blocked(seeds, seen, blocks, n_blocks=8).select("url")
 
 
+def q_media_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass: synthesize binary payloads (real magic
+    bytes + utf-8 text) per document, classify via operators.multimodal's
+    magic-byte CASE over the binary column. The oracle states the EXPECTED
+    (size, kind) arithmetically — Spark must recover them from actual
+    bytes, so the binary plumbing is what's checked."""
+    from commoncrawl_fetcher_lite_spark.operators.multimodal import classify_media
+
+    docs = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes(b"\xff\xd8\xff")))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes(b"\x89PNG")))
+        .otherwise(F.lit(bytes(b"ID3")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
+    )
+    return classify_media(media).select("media_id", "n_bytes", "kind")
+
+
 def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language/source breakdown with avg doc length (pivot-style)."""
     docs = _t(spark, sf_dir, "documents")
@@ -498,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": q_lang_breakdown,
         "robots_filter": q_robots_filter,
         "urlseen_blocked": q_urlseen_blocked,
+        "media_classify": q_media_classify,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh": q_minhash_lsh,
@@ -728,6 +754,13 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
                    FROM f3)
             SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "media_classify": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END
+                        + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind
+            FROM documents
         """,
         "robots_filter": """
             WITH seeds AS (

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lang_breakdown",
     "robots_filter",
     "urlseen_blocked",
+    "media_classify",
     "minhash_lsh",
     "simhash_neardup",
     "lsh_ann",

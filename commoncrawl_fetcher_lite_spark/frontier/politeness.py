@@ -6,10 +6,14 @@ is a global thread cap + 503 backoff ladder (BackoffHttpFetcher.java:74-107,
 README.md:169-172). Here politeness is PER-HOST and deterministic:
 
   * robots: broadcast join on host, drop URLs under any disallow prefix.
-  * quota: each host may emit `min(max_per_batch, burst + tokens_per_sec *
-    batch_seconds)` URLs per scheduling batch — the token-bucket state
-    (`tokens` carried in host_state between batches) is recomputed
-    relationally each iteration, no streaming state.
+  * quota: a real cross-batch token bucket — refill_tokens computes each
+    host's available tokens min(burst + rate·dt, tokens + rate·dt) from
+    the host_state table committed with the previous snapshot, and
+    debit_tokens subtracts what was actually scheduled; the scheduler
+    commits the new state with each snapshot. host_quota remains as the
+    stateless single-batch rule (same iteration-1 numbers). The streaming
+    twin (state store instead of snapshot table) is
+    streaming/host_state.stateful_host_quota.
   * priority: rank within host by (priority + recrawl_score) desc, then
     url for determinism; row_number <= quota emits.
   * skew: ranking windows partition by host — a hot host (Zipf rank 1 ≈ 20%
@@ -86,6 +90,92 @@ def host_quota(
             default_max_per_batch,
             default_burst + default_tokens_per_sec * batch_seconds,
         )
+    )
+
+
+def refill_tokens(
+    host_state: DataFrame | None,
+    hosts: DataFrame,
+    batch_seconds: float,
+    tokens_per_sec: float,
+    burst: int,
+    max_per_batch: int,
+    host_budget: DataFrame | None = None,
+    robots: DataFrame | None = None,
+) -> DataFrame:
+    """Token-bucket refill → (host, avail double, quota int).
+
+    avail_i = min(burst + rate·dt, tokens_{i-1} + rate·dt): a host can
+    never hoard more than one refill beyond its burst, and a fresh host
+    (no state row) starts at tokens=burst — so iteration 1's quota equals
+    the stateless rule min(max_per_batch, burst + rate·dt) exactly.
+    quota_i = min(max_per_batch, floor(avail_i)). The debit (avail -
+    actually-scheduled) is written back by the scheduler as the next
+    iteration's host_state — this is the north star's "host token-bucket
+    state" carried across batches.
+
+    `host_budget` rows (host, tokens_per_sec, burst, max_per_batch; '*'
+    row = defaults) override the scalar defaults per host; robots
+    Crawl-delay caps the rate at 1/delay like host_quota."""
+    spark = hosts.sparkSession
+    if host_state is None:
+        host_state = spark.createDataFrame([], "host string, tokens double")
+    out = hosts.select("host").distinct()
+    if host_budget is not None:
+        dflt = host_budget.where(F.col("host") == "*").collect()
+        if dflt:
+            tokens_per_sec = dflt[0]["tokens_per_sec"]
+            burst = dflt[0]["burst"]
+            max_per_batch = dflt[0]["max_per_batch"]
+        out = out.join(
+            F.broadcast(
+                host_budget.where(F.col("host") != "*").select(
+                    "host",
+                    F.col("tokens_per_sec").alias("_rate"),
+                    F.col("burst").alias("_burst"),
+                    F.col("max_per_batch").alias("_maxpb"),
+                )
+            ),
+            "host",
+            "left",
+        )
+    else:
+        out = out.withColumns(
+            {
+                "_rate": F.lit(None).cast("double"),
+                "_burst": F.lit(None).cast("int"),
+                "_maxpb": F.lit(None).cast("int"),
+            }
+        )
+    rate = F.coalesce(F.col("_rate"), F.lit(float(tokens_per_sec)))
+    if robots is not None:
+        out = out.join(
+            F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
+        )
+        rate = F.when(
+            F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
+            F.least(rate, 1.0 / F.col("crawl_delay_s")),
+        ).otherwise(rate)
+    brst = F.coalesce(F.col("_burst").cast("double"), F.lit(float(burst)))
+    maxpb = F.coalesce(F.col("_maxpb"), F.lit(int(max_per_batch)))
+    refill = rate * F.lit(float(batch_seconds))
+    avail = F.least(brst + refill, F.coalesce(F.col("tokens"), brst) + refill)
+    return (
+        out.join(F.broadcast(host_state), "host", "left")
+        .select(
+            "host",
+            avail.alias("avail"),
+            F.least(maxpb, F.floor(avail).cast("int")).alias("quota"),
+        )
+    )
+
+
+def debit_tokens(refilled: DataFrame, scheduled: DataFrame) -> DataFrame:
+    """(host, avail) minus per-host scheduled counts → new host_state."""
+    counts = scheduled.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    return refilled.join(counts, "host", "left").select(
+        "host",
+        (F.col("avail") - F.coalesce(F.col("_n"), F.lit(0))).alias("tokens"),
     )
 
 

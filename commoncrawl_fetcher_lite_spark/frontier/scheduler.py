@@ -28,7 +28,8 @@ from commoncrawl_fetcher_lite_spark.config import FrontierConfig
 from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
 from commoncrawl_fetcher_lite_spark.frontier.politeness import (
     apply_robots,
-    host_quota,
+    debit_tokens,
+    refill_tokens,
     schedule_batch,
 )
 from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
@@ -71,7 +72,6 @@ def run_iteration(
     exactly one new snapshot. Deterministic: same input snapshot → same
     output snapshot (fetch_fn must be deterministic too; tests use the
     fixture WARC store)."""
-    spark = store.spark
     frontier = store.read("frontier")
     seen = store.read("urlseen")
     robots = store.read("robots") if store.exists("robots") else None
@@ -82,29 +82,40 @@ def run_iteration(
 
     candidates = filter_unseen(candidates, seen)
 
-    if host_budget is not None:
-        quotas, default_quota = host_quota(
-            host_budget,
-            batch_seconds,
-            cfg.default_tokens_per_sec,
-            cfg.default_burst,
-            cfg.default_max_per_batch,
-        )
-    else:
-        quotas = spark.createDataFrame([], "host string, quota int")
-        default_quota = int(
-            min(
-                cfg.default_max_per_batch,
-                cfg.default_burst + cfg.default_tokens_per_sec * batch_seconds,
-            )
-        )
+    # token-bucket politeness (north star: "priority = recrawl score +
+    # host token-bucket state"): refill each candidate host's bucket from
+    # the host_state table committed with the previous snapshot; quota =
+    # floored available tokens; after scheduling, the actual per-host
+    # batch sizes are debited and the new state commits with this
+    # snapshot. A fresh host starts at tokens=burst, so iteration 1
+    # reproduces the stateless quota min(max_per_batch, burst + rate*dt).
+    prev_state = store.read("host_state") if store.exists("host_state") else None
+    refilled = refill_tokens(
+        prev_state,
+        candidates.select("host"),
+        batch_seconds,
+        cfg.default_tokens_per_sec,
+        cfg.default_burst,
+        cfg.default_max_per_batch,
+        host_budget=host_budget,
+        robots=robots,
+    ).localCheckpoint(eager=True)  # reused by the quota join AND the debit
+    quotas = refilled.select("host", "quota")
 
     # materialize the scheduling plan ONCE: batch feeds the fetch, both
     # state updates, and the commit write — without this the anti-join +
     # double window re-executed 3-4x per iteration.
     batch = schedule_batch(
-        candidates, quotas, default_quota, n_salt=cfg.n_salt
+        candidates, quotas, default_quota=0, n_salt=cfg.n_salt
     ).localCheckpoint(eager=True)
+
+    # carry state for hosts with no candidates this round (their debt must
+    # not reset); hosts scheduled this round get (avail - n_scheduled)
+    new_state = debit_tokens(refilled, batch.select("host"))
+    if prev_state is not None:
+        new_state = new_state.unionByName(
+            prev_state.join(refilled.select("host"), "host", "left_anti")
+        )
 
     fetched = fetch_fn(batch) if fetch_fn is not None else batch
 
@@ -136,6 +147,7 @@ def run_iteration(
         "frontier": new_frontier,
         "urlseen": new_seen,
         "batch": batch_urls,
+        "host_state": new_state,
     }
     if fetch_fn is not None:
         tables["fetched"] = fetched

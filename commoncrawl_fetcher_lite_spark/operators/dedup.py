@@ -127,6 +127,24 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     return _minhash_udf(num_perm)(base_shingle_hashes(shingles))
 
 
+def shingle_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh) shingle-set frame, spread for compute. Build this ONCE and
+    pass to both minhash_lsh_candidates and verify_jaccard when composing
+    the full near-dup pipeline — shingling is the scan-side CPU cost and
+    need not run three times."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+
+    return (
+        spread_for_compute(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -134,19 +152,17 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash bucket join.
 
     bands=16, rows=4 over 64 perms → pairs with J≈0.5 caught w.p. ~0.88,
-    J≈0.7 w.p. ~0.998. Output: (id_a, id_b) candidates, id_a < id_b."""
+    J≈0.7 w.p. ~0.998. Output: (id_a, id_b) candidates, id_a < id_b.
+    `shingles`: precomputed shingle_frame to reuse across stages."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     rows_per_band = num_perm // bands
-    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
-
-    sh = spread_for_compute(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).select("id", word_shingles("_t", n).alias("sh")).where(F.size("sh") > 0)
+    sh = shingles if shingles is not None else shingle_frame(docs, text_col, id_col, n)
     # one let-bound pass: signature computed once per row, band hashes
     # derived from the bound array (element_at with the band lambda var) —
     # no per-band re-evaluation of the shingle/minhash chain.
@@ -196,10 +212,16 @@ def verify_jaccard(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard verification of candidate pairs (JVM set ops)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    """Exact Jaccard verification of candidate pairs (JVM set ops).
+    `shingles`: precomputed shingle_frame to reuse (else recomputed)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else docs.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+        )
     )
     out = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

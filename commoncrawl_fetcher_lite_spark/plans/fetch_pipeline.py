@@ -94,12 +94,32 @@ def run_fetch(
     if cfg.dry_run:
         return FetchResult(None, truncated_logged, would_extract, None, metrics)
 
-    assert path_resolver is not None, "non-dry-run needs a path_resolver"
+    fetcher_factory = None
+    if path_resolver is None:
+        # no explicit resolver → build the config's transport executor-side
+        # (S5/S6/S7: http backoff ladder / s3 / fs per fetcher precedence)
+        fetch_cfg = cfg.fetch
+
+        def fetcher_factory():
+            from commoncrawl_fetcher_lite_spark.config import CC_HTTPS_BASE
+            from commoncrawl_fetcher_lite_spark.sources.fetcher import (
+                BackoffFetcher,
+                transport_for,
+            )
+
+            base = CC_HTTPS_BASE if fetch_cfg.kind == "http" else ""
+            return BackoffFetcher(
+                transport=transport_for(fetch_cfg),
+                throttle_seconds=fetch_cfg.throttle_seconds,
+                url_base=base,
+            )
+
     fetched = extract_payloads(
         would_extract,
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
         emit_dir=cfg.emit.base_path or None,
+        fetcher_factory=fetcher_factory,
     )
     # A4 run counters (CCIndexReaderCounter.java:22-25) as an observe()
     # metric: filled in when the caller runs any action on `extracted`;

@@ -124,11 +124,12 @@ def assemble_spans(url: str, mime_detected: str | None, payload: bytes,
 
 def extract_payloads(
     records: DataFrame,
-    path_resolver: Callable[[str], str],
+    path_resolver: Callable[[str], str] | None = None,
     target_path_pattern: str = "xx/xx/xxx",
     coalesce_by_file: bool = True,
     emit_dir: str | None = None,
     emitter: Callable[[str, bytes], None] | None = None,
+    fetcher_factory: Callable[[], object] | None = None,
 ) -> DataFrame:
     """records must carry url, mime, mime_detected, status, digest, length,
     offset, filename, truncated. Returns one row per FETCHABLE record with
@@ -142,6 +143,13 @@ def extract_payloads(
 
     ``emitter``: general sink callable (rel_path, payload) — e.g.
     emitters.s3_emitter for the S10 twin; overrides emit_dir when both set.
+
+    ``fetcher_factory``: () -> BackoffFetcher — the ranged-read transport
+    seam (HTTP/S3/FS with the 503 backoff ladder, S5/S6/S8). Constructed
+    ONCE PER PARTITION executor-side (clients aren't picklable); rows of
+    the same WARC stay co-partitioned and offset-sorted so remote ranged
+    GETs read forward. When given, path_resolver is ignored; the local
+    open/seek fast path (one handle per file) is used otherwise.
 
     Per-record read/parse failures (missing WARC file, bad offset, corrupt
     gzip) are skipped like the reference's warn-and-continue
@@ -164,7 +172,11 @@ def extract_payloads(
 
         emitter = fs_emitter(emit_dir)
 
+    if path_resolver is None and fetcher_factory is None:
+        raise ValueError("need path_resolver or fetcher_factory")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetcher = fetcher_factory() if fetcher_factory is not None else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -174,15 +186,22 @@ def extract_payloads(
             handle = None
             for row in pdf.itertuples(index=False):
                 try:
-                    local = path_resolver(row.filename)
-                    if local != handle_path:
-                        if handle is not None:
-                            handle.close()
-                        handle, handle_path = None, None  # if open() throws
-                        handle = open(local, "rb")
-                        handle_path = local
-                    handle.seek(int(row.offset))
-                    raw = handle.read(int(row.length))
+                    if fetcher is not None:
+                        raw = fetcher.fetch(
+                            row.filename,
+                            int(row.offset),
+                            int(row.offset) + int(row.length) - 1,
+                        )
+                    else:
+                        local = path_resolver(row.filename)
+                        if local != handle_path:
+                            if handle is not None:
+                                handle.close()
+                            handle, handle_path = None, None  # if open() throws
+                            handle = open(local, "rb")
+                            handle_path = local
+                        handle.seek(int(row.offset))
+                        raw = handle.read(int(row.length))
                 except Exception as e:  # noqa: BLE001 — warn-and-continue
                     import warnings
 

@@ -32,7 +32,13 @@ N_SEEDS = int(os.environ.get("SCALING_SEEDS", "4000000"))
 N_CDX_LINES = int(os.environ.get("SCALING_CDX_LINES", "2000000"))
 N_CDX_FILES = 32
 CDX_DIR = os.environ.get("SCALING_CDX_DIR", "/tmp/ccspark_bench_cdx")
-LEVELS = (8, 32)
+# N vs 4N parallelism levels. On THIS box (32 physical cores shared with
+# other tenants whose load idles at 8-20), local[32] is structurally
+# starved while local[8] gets its full share — so (4,16) is offered as the
+# un-starved 4x-ratio pair; both series are reported.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+)
 
 
 def gen_cdx_files(spark) -> None:
@@ -246,11 +252,13 @@ def main() -> None:
             "level_n": res_n,
             "level_n4": res_n4,
         }
-        # a pair is 'quiet' when neither run saw external load beyond its
-        # own worker's demand
+        # a pair is 'quiet' when EXTERNAL load was low as each leg STARTED
+        # (the first loadavg sample, taken before the workloads) — samples
+        # taken during a 32-thread run can't separate own load from
+        # tenants', which made the old whole-run threshold vacuous.
         pair["quiet"] = (
-            max(res_n["loadavg_samples"]) <= n * 1.5
-            and max(res_n4["loadavg_samples"]) <= n4 * 1.3
+            res_n["loadavg_samples"][0] <= 3.5
+            and res_n4["loadavg_samples"][0] <= 3.5
         )
         pairs.append(pair)
         if pair["quiet"]:

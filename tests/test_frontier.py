@@ -252,8 +252,10 @@ def test_crawl_order_matches_python_oracle(spark, tmp_path):
     """North-rule centerpiece: crawl ORDER + URL-seen membership over a
     multi-iteration frontier run must exactly match an independent
     pure-Python simulation of the canonical rule — per host, candidates
-    fetch in (effective_priority desc, url asc) order, at most `quota` per
-    batch, never revisiting a seen URL, robots prefixes excluded.
+    fetch in (effective_priority desc, url asc) order, quota = the host's
+    TOKEN BUCKET (floor of min(burst+rate*dt, tokens+rate*dt), debited by
+    what was actually scheduled), never revisiting a seen URL, robots
+    prefixes excluded.
     """
     import itertools
 
@@ -281,12 +283,14 @@ def test_crawl_order_matches_python_oracle(spark, tmp_path):
         [(h, ["/blocked/"], None) for h in hosts[:3]],
         "host string, disallow_prefixes array<string>, crawl_delay_s double",
     )
-    # quota = min(max_per_batch=3, burst=2 + 0.1*10) = 3
+    # token bucket: iter1 avail = burst 2 + 0.1*10 = 3 → quota 3; a host
+    # that schedules all 3 drains to 0, so iter2 avail = 1 → quota 1; etc.
+    BURST, RATE, DT, MAXPB = 2, 0.1, 10.0, 3
     cfg = FrontierConfig(
         n_salt=4,
-        default_tokens_per_sec=0.1,
-        default_burst=2,
-        default_max_per_batch=3,
+        default_tokens_per_sec=RATE,
+        default_burst=BURST,
+        default_max_per_batch=MAXPB,
     )
 
     store = SnapshotStore(str(tmp_path / "st"), spark)
@@ -324,16 +328,23 @@ def test_crawl_order_matches_python_oracle(spark, tmp_path):
         prio[url] = (p or 0.0) + (rs or 0.0)
         cand_by_host.setdefault(host, []).append(url)
     seen = set()
+    tokens = {h: float(BURST) for h in cand_by_host}
     oracle_batches = []
     while True:
         batch = {}
         for h, urls in cand_by_host.items():
-            avail = sorted(
+            avail_tokens = min(BURST + RATE * DT, tokens[h] + RATE * DT)
+            quota = min(MAXPB, int(avail_tokens))
+            emit = sorted(
                 (u for u in urls if u not in seen),
                 key=lambda u: (-prio[u], u),
-            )[:3]
-            if avail:
-                batch[h] = avail
+            )[:quota]
+            if emit:
+                batch[h] = emit
+            # debit only when the host had candidates this round (the
+            # engine's refill covers candidate hosts; others keep state)
+            if any(u not in seen for u in urls):
+                tokens[h] = avail_tokens - len(emit)
         if not batch:
             break
         for us in batch.values():

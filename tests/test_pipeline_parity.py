@@ -232,3 +232,36 @@ def test_extract_payloads_warn_and_skip(spark, fixture_t1):
 
     n_skip = extract_payloads(recs, flaky_resolver).count()
     assert 0 < n_skip < n_all
+
+
+def test_extract_via_backoff_fetcher_matches_local(spark, fixture_t1):
+    """Ranged-read extraction through the BackoffFetcher transport seam
+    (S5/S6/S8) must produce the identical row set as the local open/seek
+    fast path — proving HTTP/S3 transports plug into extraction unchanged."""
+    from commoncrawl_fetcher_lite_spark.sources.fetcher import (
+        BackoffFetcher,
+        local_fs_transport,
+    )
+    from commoncrawl_fetcher_lite_spark.sources.warc import extract_payloads
+
+    fx = fixture_t1
+    recs = read_cdx_records(spark, fx.index_paths).where(
+        "status = 200 AND filename IS NOT NULL"
+    )
+    root = fx.root
+
+    def factory():
+        return BackoffFetcher(
+            transport=local_fs_transport(lambda k: warc_local_path(root, k)),
+            url_base="",
+        )
+
+    via_fetcher = {
+        (r["url"], r["sha256"], tuple((s["kind"], s["text"], s["media_ref"]) for s in (r["spans"] or [])))
+        for r in extract_payloads(recs, fetcher_factory=factory).collect()
+    }
+    via_local = {
+        (r["url"], r["sha256"], tuple((s["kind"], s["text"], s["media_ref"]) for s in (r["spans"] or [])))
+        for r in extract_payloads(recs, lambda f: warc_local_path(root, f)).collect()
+    }
+    assert via_fetcher == via_local and via_fetcher
