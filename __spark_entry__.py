@@ -433,6 +433,41 @@ def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen_blocked(seeds, seen, blocks, n_blocks=8).select("url")
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scoring (Poisson freshness: 1 - exp(-λ·age_days)) + top-3
+    per host by effective_priority — the north star's priority model over
+    a fetch-history frame derived from events."""
+    from commoncrawl_fetcher_lite_spark.frontier.recrawl import (
+        with_recrawl_priority,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        (F.col("value") / 100.0).alias("priority"),
+        F.col("ts").alias("last_fetch_ts"),
+    )
+    scored = with_recrawl_priority(
+        hist, now=F.lit("2026-01-01").cast("timestamp"), change_rate_per_day=0.05
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("effective_priority"), F.asc("url")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("host", "url", "recrawl_score", "effective_priority", "rank")
+    )
+
+
 def q_media_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata pass: synthesize binary payloads (real magic
     bytes + utf-8 text) per document, classify via operators.multimodal's
@@ -524,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "urlseen_blocked": q_urlseen_blocked,
         "media_classify": q_media_classify,
+        "recrawl_priority": q_recrawl_priority,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh": q_minhash_lsh,
@@ -754,6 +790,32 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
                    FROM f3)
             SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "recrawl_priority": """
+            WITH hist AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+                       'host' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS host,
+                       value / 100.0 AS priority,
+                       ts AS last_fetch_ts
+                FROM events),
+            scored AS (
+                SELECT host, url,
+                       round(1.0 - exp(-0.05 * greatest(
+                           date_diff('day', last_fetch_ts, TIMESTAMP '2026-01-01 00:00:00'),
+                           0)), 6) AS recrawl_score,
+                       priority
+                FROM hist),
+            eff AS (
+                SELECT host, url, recrawl_score,
+                       round(coalesce(priority, 0) + recrawl_score, 6)
+                           AS effective_priority
+                FROM scored)
+            SELECT host, url, recrawl_score, effective_priority, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY effective_priority DESC, url ASC) AS rank
+                FROM eff) t
+            WHERE rank <= 3
         """,
         "media_classify": """
             SELECT doc_id AS media_id,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "urlseen_blocked",
     "media_classify",
+    "recrawl_priority",
     "minhash_lsh",
     "simhash_neardup",
     "lsh_ann",

@@ -358,3 +358,33 @@ def test_crawl_order_matches_python_oracle(spark, tmp_path):
     # URL-seen membership: exactly the union of batches, nothing else
     seen_engine = {r["url"] for r in store.read("urlseen").collect()}
     assert seen_engine == seen
+
+
+def test_recrawl_score_model(spark):
+    """Poisson freshness: score 0 on fetch day, monotone in age, scaled by
+    change rate; future-dated fetches clamp to 0."""
+    from commoncrawl_fetcher_lite_spark.frontier.recrawl import (
+        with_recrawl_priority,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 0.5, "2026-01-01 12:00:00"),
+            ("u2", 0.5, "2025-12-22 00:00:00"),  # 10 days old
+            ("u3", 0.5, "2025-01-01 00:00:00"),  # a year old
+            ("u4", 0.5, "2026-06-01 00:00:00"),  # future → clamp
+        ],
+        "url string, priority double, last_fetch_ts string",
+    ).withColumn("last_fetch_ts", F.col("last_fetch_ts").cast("timestamp"))
+    out = {
+        r["url"]: (r["recrawl_score"], r["effective_priority"])
+        for r in with_recrawl_priority(
+            df, now=F.lit("2026-01-01").cast("timestamp"), change_rate_per_day=0.1
+        ).collect()
+    }
+    import math
+
+    assert out["u1"][0] == 0.0 and out["u1"][1] == 0.5
+    assert abs(out["u2"][0] - round(1 - math.exp(-1.0), 6)) < 1e-9
+    assert out["u3"][0] > out["u2"][0] > out["u1"][0]
+    assert out["u4"][0] == 0.0  # never negative-age
