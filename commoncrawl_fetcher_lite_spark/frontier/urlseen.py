@@ -156,7 +156,15 @@ def filter_unseen(
     The anti-join key is (url_hash, url): url_hash co-partitions (the seen
     table is hash-bucketed by it), the url column makes the match exact
     under 64-bit collisions. Shuffle payload stays key+url only — at scale
-    the Bloom gate means just ~fpp of candidates take this join at all."""
+    the Bloom gate means just ~fpp of candidates take this join at all.
+
+    Rejected design, measured: a broadcast-hash prefilter (split candidates
+    by a broadcast semi/anti on the 8-byte hash set, exact-join only the
+    positives) is ~2x SLOWER here (29 s vs 14.8 s at 16M/4M, 8 cores) —
+    the union's two branches each re-execute the expensive candidate scan,
+    and a multi-million-row broadcast relation costs more than it saves.
+    The Bloom byte-gate keeps the split cheap because the probe is one
+    vectorized UDF column, not a join."""
     cand = candidates
     if "url_hash" not in cand.columns:
         cand = with_url_hash(cand, url_col)
