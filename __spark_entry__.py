@@ -349,6 +349,17 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the held-out
+    benchmark; flag corpus docs sharing any word-3-gram with it (broadcast
+    semi-join on shingles — GPT-3-style test-set overlap removal)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=3, min_overlap=1)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style md5 fingerprints per document."""
     from commoncrawl_fetcher_lite_spark.operators.text import fingerprints
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlseen_blocked": q_urlseen_blocked,
         "media_classify": q_media_classify,
         "recrawl_priority": q_recrawl_priority,
+        "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh": q_minhash_lsh,
@@ -790,6 +802,22 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN s_zh > b THEN s_zh ELSE b END AS b
                    FROM f3)
             SELECT doc_id, p AS pred_lang, round(b, 6) AS lang_score FROM f4
+        """,
+        "decontaminate": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                   FROM t WHERE len(w) >= 3),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            ov AS (SELECT sh.doc_id, count(DISTINCT sh.s) AS n_overlap
+                   FROM sh JOIN bench ON sh.s = bench.s
+                   GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         """,
         "recrawl_priority": """
             WITH hist AS (

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "urlseen_blocked",
     "media_classify",
     "recrawl_priority",
+    "decontaminate",
     "minhash_lsh",
     "simhash_neardup",
     "lsh_ann",

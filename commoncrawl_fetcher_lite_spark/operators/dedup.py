@@ -263,6 +263,52 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ min_overlap
+    word n-grams with a held-out benchmark set (the standard test-set
+    overlap removal step in LLM data pipelines; GPT-3-style 13-gram rule =
+    n=13, min_overlap=1).
+
+    Plan shape for 100 TB: the benchmark side is small by construction
+    (eval sets), so its distinct shingles BROADCAST; the corpus side
+    explodes shingles and semi-joins in-map (no corpus shuffle until the
+    per-doc count agg on the 8-byte doc id). Output: one row per input doc
+    with (n_overlap, contaminated)."""
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    overlaps = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.countDistinct("sh").alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(overlaps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

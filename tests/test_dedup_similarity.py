@@ -173,3 +173,30 @@ def test_simhash_pigeonhole_recall_vs_allpairs(spark, neardup_docs):
         for r in simhash_neardup_pairs(neardup_docs, max_hamming=8).collect()
     }
     assert got == truth
+
+
+def test_decontaminate(spark):
+    """Docs sharing >= min_overlap n-grams with the benchmark flag as
+    contaminated; counts are distinct-overlap counts; clean docs flag 0."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # 3 overlapping 3-grams
+            (2, "quick brown fox somewhere else entirely"),  # 1 overlap
+            (3, "completely different text with no overlap at all"),
+            (4, "hi"),  # too short for any shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3, min_overlap=2).collect()
+    }
+    assert out[1] == (3, True)
+    assert out[2] == (1, False)  # below min_overlap
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
