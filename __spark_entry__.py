@@ -489,9 +489,10 @@ def q_media_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     magic = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes(b"\xff\xd8\xff")))
-        .when(F.col("doc_id") % 3 == 1, F.lit(bytes(b"\x89PNG")))
-        .otherwise(F.lit(bytes(b"ID3")))
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes(b"\xff\xd8\xff")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(bytes(b"\x89PNG")))
+        .when(F.col("doc_id") % 4 == 2, F.lit(bytes(b"ID3")))
+        .otherwise(F.lit(bytes(b"\x00\x00\x00\x18ftypmp42")))
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -847,9 +848,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_classify": """
             SELECT doc_id AS media_id,
-                   CAST(CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN 4
+                             WHEN doc_id % 4 = 3 THEN 12
+                             ELSE 3 END
                         + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind
+                   CASE WHEN doc_id % 4 = 2 THEN 'audio'
+                        WHEN doc_id % 4 = 3 THEN 'video'
+                        ELSE 'image' END AS kind
             FROM documents
         """,
         "robots_filter": """

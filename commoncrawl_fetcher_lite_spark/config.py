@@ -107,7 +107,11 @@ class EmitConfig:
                 bucket=bucket,
                 prefix=d.get("prefix", ""),
             )
-        return EmitConfig(kind="fs", base_path=d.get("path") or DEFAULT_FS_DOCS_PATH)
+        return EmitConfig(
+            kind="fs",
+            base_path=d.get("path") or DEFAULT_FS_DOCS_PATH,
+            on_exists=d.get("onExists", "skip"),
+        )
 
 
 @dataclass(frozen=True)
@@ -152,6 +156,23 @@ class FrontierConfig:
     checkpoint_root: str = ""
 
 
+def _normalize_emit_dict(cfg: dict[str, Any]) -> dict[str, Any] | None:
+    """Resolve the emit sink dict: modern 'docs' (reference key,
+    ExtractorConfig.java:249) wins; the legacy 'emitter' fallback is
+    TRANSLATED to the modern keys (basePath → path; onExists carried) so
+    old configs keep their target dir and overwrite mode instead of
+    silently emitting to the default 'docs' dir."""
+    if cfg.get("docs") is not None:
+        return cfg["docs"]
+    legacy = cfg.get("emitter")
+    if legacy is None:
+        return None
+    d = dict(legacy)
+    if "basePath" in d and "path" not in d:
+        d["path"] = d.pop("basePath")
+    return d
+
+
 def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
     """Parse a reference-style config JSON dict (README.md:97-126 shape;
     fetcher/docs resolution per ExtractorConfig.java:157-278 — see the
@@ -159,7 +180,7 @@ def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
     exercised by FetcherConfigTest.java:36-62)."""
     indices = cfg.get("indices", {})
     fetch = FetchConfig.from_dict(cfg.get("fetcher"))
-    emit = EmitConfig.from_dict(cfg.get("docs") or cfg.get("emitter"))
+    emit = EmitConfig.from_dict(_normalize_emit_dict(cfg))
     return ExtractorConfig(
         index_paths=tuple(indices.get("paths", ())),
         index_base_path=indices.get("basePath", ""),

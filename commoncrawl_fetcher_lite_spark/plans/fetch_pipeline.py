@@ -129,13 +129,24 @@ def run_fetch(
         obs,
         F.count(F.lit(1)).alias("fetchable_records"),
         F.sum(F.when(F.col("empty_payload"), 1).otherwise(0)).alias("empty_payload"),
-        F.sum(F.when(~F.col("digest_ok") & ~F.col("empty_payload"), 1).otherwise(0)).alias(
-            "digest_mismatch"
+        F.sum(
+            F.when(
+                ~F.col("digest_ok")
+                & ~F.col("empty_payload")
+                & F.col("read_error").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("digest_mismatch"),
+        F.sum(F.when(F.col("read_error").isNotNull(), 1).otherwise(0)).alias(
+            "read_errors"
         ),
     )
     metrics["observation"] = obs
-    # F13: empty payloads are counted then skipped
-    extracted = fetched.where(~F.col("empty_payload"))
+    # F13: empty payloads are counted then skipped; unreadable records are
+    # counted (read_errors) then skipped likewise
+    extracted = fetched.where(
+        ~F.col("empty_payload") & F.col("read_error").isNull()
+    )
     docs = extracted.select(F.col("url").alias("doc_id"), "spans")
     return FetchResult(extracted, truncated_logged, would_extract, docs, metrics)
 

@@ -51,8 +51,29 @@ OUT_SCHEMA = (
     "url string, mime string, mime_detected string, warc_file string, "
     "warc_offset long, warc_length long, truncated string, sha256 string, "
     "length long, path string, digest_ok boolean, empty_payload boolean, "
+    "read_error string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
+
+
+def _read_error_types() -> tuple[type, ...]:
+    """Exceptions the per-record read may warn-and-continue on — the
+    engine's analog of the reference catching TikaException/IOException
+    (FileFromCCWarcExtractor.java fetchToPath) rather than Throwable:
+    OSError covers urllib URLError/HTTPError, gzip.BadGzipFile and file-IO;
+    EOFError/ValueError cover short reads and bad offsets; botocore's
+    ClientError (plain Exception subclass) is added when boto3 exists.
+    Anything else — a systematically broken transport or a code bug — now
+    FAILS the task instead of silently producing an empty 'successful'
+    job."""
+    types: list[type] = [OSError, EOFError, ValueError]
+    try:
+        from botocore.exceptions import BotoCoreError, ClientError  # noqa: PLC0415
+
+        types += [BotoCoreError, ClientError]
+    except ImportError:
+        pass
+    return tuple(types)
 
 
 def parse_first_warc_record(raw: bytes) -> tuple[dict, bytes] | None:
@@ -177,6 +198,7 @@ def extract_payloads(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory() if fetcher_factory is not None else None
+        err_types = _read_error_types()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -202,11 +224,33 @@ def extract_payloads(
                             handle_path = local
                         handle.seek(int(row.offset))
                         raw = handle.read(int(row.length))
-                except Exception as e:  # noqa: BLE001 — warn-and-continue
+                except err_types as e:  # warn-and-continue, but VISIBLY:
+                    # the skip becomes an output row (read_error set) so the
+                    # pipeline's observe() counter sees total loss — a
+                    # systematically failing transport can't masquerade as
+                    # an empty-but-successful job.
                     import warnings
 
                     warnings.warn(
                         f"skipping unreadable record {row.filename}@{row.offset}: {e}"
+                    )
+                    out_rows.append(
+                        {
+                            "url": row.url,
+                            "mime": row.mime,
+                            "mime_detected": row.mime_detected,
+                            "warc_file": row.filename,
+                            "warc_offset": int(row.offset),
+                            "warc_length": int(row.length),
+                            "truncated": row.truncated,
+                            "sha256": None,
+                            "length": None,
+                            "path": None,
+                            "digest_ok": False,
+                            "empty_payload": False,
+                            "read_error": f"{type(e).__name__}: {e}",
+                            "spans": None,
+                        }
                     )
                     continue
                 parsed = parse_first_warc_record(raw)
@@ -239,6 +283,7 @@ def extract_payloads(
                         else rewrite_target_path_py(sha256, pattern),
                         "digest_ok": digest_ok,
                         "empty_payload": empty,
+                        "read_error": None,
                         "spans": spans,
                     }
                 )

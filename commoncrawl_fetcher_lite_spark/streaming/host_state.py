@@ -52,12 +52,24 @@ def stateful_host_quota(
         tokens = state.get[0] if state.exists else float(burst)
         avail = min(cap, tokens + tokens_per_sec * batch_seconds)
         quota = min(max_per_batch, int(avail))
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(
-            ["priority", "url"], ascending=[False, True]
-        ).head(quota)
-        state.update((avail - len(pdf),))
-        out = pdf[["url", "host", "priority"]].copy()
+        # bounded hot-host memory: keep a RUNNING top-quota across the
+        # chunk iterator instead of pd.concat of every candidate — a host
+        # with 10^6 queued URLs holds ≤ quota + chunk rows in memory, the
+        # same bound the batch path gets from per-salt pre-truncation
+        # (politeness.schedule_batch).
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            part = pdf[["url", "host", "priority"]]
+            merged = part if best is None else pd.concat(
+                [best, part], ignore_index=True
+            )
+            best = merged.sort_values(
+                ["priority", "url"], ascending=[False, True]
+            ).head(quota)
+        if best is None:
+            best = pd.DataFrame(columns=["url", "host", "priority"])
+        state.update((avail - len(best),))
+        out = best.copy()
         out["host_rank"] = range(1, len(out) + 1)
         yield out
 

@@ -90,8 +90,10 @@ def test_observe_metrics_and_csv_logs(spark, fixture_t1, tmp_path):
     got = obs.get  # filled by the export action
     assert got["fetchable_records"] > 0
     assert got["empty_payload"] >= 0 and got["digest_mismatch"] >= 0
-    # empty-payload rows were excluded from the extracted table
-    assert res.extracted.count() == got["fetchable_records"] - got["empty_payload"]
+    # empty-payload and read-error rows were excluded from extracted
+    assert res.extracted.count() == (
+        got["fetchable_records"] - got["empty_payload"] - got["read_errors"]
+    )
 
     files = glob.glob(str(tmp_path / "logs/extracted-urls/*.csv"))
     assert files

@@ -230,8 +230,37 @@ def test_extract_payloads_warn_and_skip(spark, fixture_t1):
         p = warc_local_path(fx.root, f)
         return p + ".does-not-exist" if f.endswith("0.warc.gz") else p
 
-    n_skip = extract_payloads(recs, flaky_resolver).count()
-    assert 0 < n_skip < n_all
+    out = extract_payloads(recs, flaky_resolver)
+    n_ok = out.where("read_error IS NULL").count()
+    n_err = out.where("read_error IS NOT NULL").count()
+    assert 0 < n_ok < n_all
+    # the skips are VISIBLE as read_error rows, not silently dropped
+    assert n_err == n_all - n_ok
+    assert "FileNotFoundError" in out.where("read_error IS NOT NULL").first()[
+        "read_error"
+    ]
+
+
+def test_extract_payloads_systematic_bug_fails_task(spark, fixture_t1):
+    """warn-and-continue covers IO-shaped errors ONLY (the reference catches
+    TikaException/IOException, not Throwable): a transport raising a
+    non-IO exception on every record — a code bug — must FAIL the job, not
+    produce an empty 'successful' output."""
+    import pytest
+
+    from commoncrawl_fetcher_lite_spark.sources.warc import extract_payloads
+
+    fx = fixture_t1
+    recs = read_cdx_records(spark, fx.index_paths).where(
+        "status = 200 AND filename IS NOT NULL"
+    )
+
+    class BrokenTransport:
+        def fetch(self, key, start=None, end=None):
+            raise TypeError("systematically broken fetcher")
+
+    with pytest.raises(Exception, match="TypeError|systematically broken"):
+        extract_payloads(recs, fetcher_factory=BrokenTransport).count()
 
 
 def test_extract_via_backoff_fetcher_matches_local(spark, fixture_t1):

@@ -92,3 +92,44 @@ def test_stateful_quota_matches_batch_rule(spark, tmp_path):
     r2 = refill_tokens(s1, hosts, 10.0, 0.1, 2, 5)
     q2 = r2.collect()[0]["quota"]
     assert (q1, q2) == (3, 1)  # same numbers the streaming test asserts
+
+
+def test_stateful_hot_host_running_topk(spark, tmp_path):
+    """A hot host whose micro-batch arrives as MANY Arrow chunks must emit
+    exactly the global top-quota (the running-top-k across the chunk
+    iterator equals one full sort), keeping per-chunk memory ≈ quota +
+    chunk instead of buffering the whole candidate set."""
+    n = 25_000  # > default spark.sql.execution.arrow.maxRecordsPerBatch
+    urls = [
+        (f"https://hot.example.com/u/{i:06d}", "hot.example.com", float(i % 997))
+        for i in range(n)
+    ]
+    seeds_dir = str(tmp_path / "seeds")
+    os.makedirs(seeds_dir)
+    _write_seed_file(f"{seeds_dir}/a.parquet", urls)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seeds_dir)
+    )
+    out = stateful_host_quota(
+        stream, batch_seconds=10.0, tokens_per_sec=1.0, burst=10, max_per_batch=7
+    )
+    got: list[tuple] = []
+
+    def handle(df, batch_id):
+        got.extend((r["url"], r["host_rank"]) for r in df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = sorted(urls, key=lambda t: (-t[2], t[0]))[:7]
+    assert sorted(got, key=lambda t: t[1]) == [
+        (u, i + 1) for i, (u, _, _) in enumerate(expected)
+    ]

@@ -77,11 +77,87 @@ def test_classify_media(spark):
             ("m2", bytearray(b"\x89PNGrest")),
             ("m3", bytearray(b"ID3audio")),
             ("m4", bytearray(b"randombytes")),
+            ("m5", bytearray(b"\x00\x00\x00\x18ftypmp42moov")),  # ISO-BMFF mp4
+            ("m6", bytearray(b"\x1a\x45\xdf\xa3webm-ebml")),  # Matroska/WebM
         ],
         "media_id string, payload binary",
     )
     got = {r["media_id"]: r["kind"] for r in classify_media(df).collect()}
-    assert got == {"m1": "image", "m2": "image", "m3": "audio", "m4": "other"}
+    assert got == {
+        "m1": "image",
+        "m2": "image",
+        "m3": "audio",
+        "m4": "other",
+        "m5": "video",
+        "m6": "video",
+    }
+
+
+def test_repartition_by_size_spreads_equal_sizes(spark):
+    """Skew guard must SPREAD same-size payloads over tasks, not funnel
+    them into one (the round-2 bug: partitioning by bucket alone routed
+    every largest payload to a single task)."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.operators.multimodal import (
+        repartition_by_size,
+    )
+
+    # 200 distinct payloads, ALL the same size → same size bucket
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("media_id"),
+        F.encode(F.rpad(F.col("id").cast("string"), 1000, "x"), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    parts = (
+        repartition_by_size(df)
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    n_used = len(parts)
+    biggest = max(r["count"] for r in parts)
+    assert n_used >= 8, f"equal-size payloads landed in only {n_used} task(s)"
+    assert biggest < 200  # not all in one task
+
+
+def test_extract_features_real_decode_gating(spark):
+    """decode_stub=False: image decode is import-gated on Pillow — real
+    features when installed, NotImplementedError otherwise; non-image kinds
+    always raise (no codec libs for audio/video here)."""
+    import pytest
+
+    from commoncrawl_fetcher_lite_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [("m1", "audio", bytearray(b"ID3x"))],
+        "media_id string, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(df, decode_stub=False).collect()
+
+    if mm._load_pillow() is not None:  # real path where Pillow exists
+        from PIL import Image
+        import io
+
+        buf = io.BytesIO()
+        Image.new("L", (10, 7), color=128).save(buf, format="PNG")
+        img_df = spark.createDataFrame(
+            [("p1", "image", bytearray(buf.getvalue()))],
+            "media_id string, kind string, payload binary",
+        )
+        row = extract_features(img_df, decode_stub=False).first()
+        assert (row["width"], row["height"]) == (10, 7)
+        assert len(row["feature"]) == 16
+    else:  # this container: the image path raises the marked error
+        img_df = spark.createDataFrame(
+            [("p1", "image", bytearray(b"\x89PNGfake"))],
+            "media_id string, kind string, payload binary",
+        )
+        with pytest.raises(Exception, match="Pillow"):
+            extract_features(img_df, decode_stub=False).collect()
 
 
 def test_extract_features_stub(spark):

@@ -249,3 +249,27 @@ def test_s3_emitter_prefix_and_skip():
     emit("ab/cd/x", b"two")  # HEAD hit → skip
     assert c.objects[("my-bucket", "some-docs/ab/cd/x")] == b"one"
     assert c.put_calls == ["some-docs/ab/cd/x"]
+
+
+def test_config_legacy_emitter_keys_mapped():
+    """Legacy {'emitter': {'basePath': ..., 'onExists': ...}} must keep its
+    target dir and overwrite mode (round-2 bug: from_dict only read
+    'path'/'profile', so legacy configs silently emitted to 'docs')."""
+    cfg = from_json_dict(
+        {
+            "indices": {"paths": ["x.gz"]},
+            "emitter": {"kind": "fs", "basePath": "/legacy/docs", "onExists": "overwrite"},
+        }
+    )
+    assert cfg.emit.kind == "fs"
+    assert cfg.emit.base_path == "/legacy/docs"
+    assert cfg.emit.on_exists == "overwrite"
+    # modern 'docs' still wins when both present
+    cfg2 = from_json_dict(
+        {
+            "indices": {"paths": ["x.gz"]},
+            "docs": {"path": "/modern"},
+            "emitter": {"basePath": "/legacy"},
+        }
+    )
+    assert cfg2.emit.base_path == "/modern"
