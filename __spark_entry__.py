@@ -97,15 +97,25 @@ def q_selector_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """maxRecords semantics (L1): deterministic prefix in canonical order;
-    the record hitting the limit is NOT processed (strictly-less)."""
-    w = Window.orderBy("event_id")
+    the record hitting the limit is NOT processed (strictly-less).
+
+    Runs the ENGINE's shuffle-free path (operators/budgets.apply_budgets:
+    per-file offsets cumsum'd driver-side, no global sort) over the events
+    table dressed as 10 dense index files — the oracle's row_number()<1234
+    is equivalent because event_ids are dense, but the Spark plan here is
+    the O(1)-shuffle one a 100 TB run would use, not a single-task window."""
+    from commoncrawl_fetcher_lite_spark.operators.budgets import apply_budgets
+
     max_records = 1234
-    return (
-        _cdx_view(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") < max_records)
-        .select("event_id", "url")
+    recs = _cdx_view(spark, sf_dir).withColumns(
+        {
+            "index_file_seq": (F.col("event_id") / 1000).cast("int"),
+            "line_no": (F.col("event_id") % 1000).cast("long"),
+        }
     )
+    return apply_budgets(
+        recs, selected=F.lit(True), max_records=max_records
+    ).select("event_id", "url")
 
 
 def q_top_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,8 +344,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k ANN (scale path; rows-only check —
-    pytest measures recall vs the brute-force baseline)."""
+    """LSH-bucketed approximate top-k ANN (scale path). Deterministic: the
+    seeded hyperplanes are a pure function of (seed, dim), so the DuckDB
+    oracle reproduces the exact bucketing by inlining the same planes as
+    SQL literals (_lsh_ann_oracle_sql); pytest additionally measures recall
+    vs the brute-force baseline."""
     from commoncrawl_fetcher_lite_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -401,10 +414,11 @@ def _seeds_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt end-to-end: synthesize per-host robots bodies, parse them
-    with frontier.robots.robots_frame (RFC 9309 grouping), drop candidates
-    under a disallow prefix via the broadcast robots join. Oracle
-    reimplements the EXPECTED block rule in SQL (even host index blocks
-    /e/1*), so the parser+filter pipeline is checked, not mirrored."""
+    with frontier.robots.robots_frame (RFC 9309 grouping + Allow), drop
+    candidates by longest-match Disallow/Allow precedence via the
+    size-gated robots join. Oracle reimplements the EXPECTED rule in SQL
+    (even host index blocks /e/1* EXCEPT the longer Allow /e/13), so the
+    parser+filter pipeline is checked, not mirrored."""
     from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
     from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
 
@@ -412,7 +426,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = seeds.select("host").distinct()
     body_even = (
         "# synthetic\nUser-agent: greedybot\nDisallow: /\n\n"
-        "User-agent: *\nDisallow: /e/1\nCrawl-delay: 2"
+        "User-agent: *\nDisallow: /e/1\nAllow: /e/13\nCrawl-delay: 2"
     )
     bodies = hosts.select(
         "host",
@@ -584,9 +598,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_ann_oracle_sql(
+    n_planes: int = 4, n_rotations: int = 8, dim: int = 64, seed: int = 42, k: int = 3
+) -> str:
+    """Exact SQL twin of q_lsh_ann: the seeded hyperplanes (pure function of
+    seed — similarity._hyperplanes) are inlined as DOUBLE[] literals, so
+    DuckDB reproduces the identical bucketing, candidate join, and cosine
+    re-rank (verified to match Spark bit-for-bit at sf0.01)."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for rot in range(n_rotations):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed + rot * 1000)):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            rows.append(f"({rot},{p},{arr}::DOUBLE[])")
+    planes_values = ",\n".join(rows)
+    return f"""
+        WITH planes(rot, p, plane) AS (VALUES {planes_values}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (
+          SELECT e.vec_id, pl.rot,
+                 SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                          THEN (1 << pl.p) ELSE 0 END) AS bucket
+          FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.rot
+        ),
+        qs AS (SELECT vec_id AS query_id, rot, bucket FROM sigs WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM qs q JOIN sigs c USING (rot, bucket)
+          WHERE c.vec_id != q.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND(list_dot_product(eq.v, ec.v)
+                       / (sqrt(list_dot_product(eq.v, eq.v))
+                          * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cos
+          FROM cand
+          JOIN emb eq ON eq.vec_id = cand.query_id
+          JOIN emb ec ON ec.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "lsh_ann": _lsh_ann_oracle_sql(),
         "mime_count": f"""
             WITH cdx AS ({_CDX_VIEW_SQL})
             SELECT mime,
@@ -865,7 +928,8 @@ def oracle_sql() -> dict[str, str]:
                        '/e/' || CAST(event_id AS VARCHAR) AS path
                 FROM events)
             SELECT url FROM seeds
-            WHERE NOT (hk % 2 = 0 AND starts_with(path, '/e/1'))
+            WHERE NOT (hk % 2 = 0 AND starts_with(path, '/e/1')
+                       AND NOT starts_with(path, '/e/13'))
         """,
         "urlseen_blocked": """
             WITH seeds AS (

@@ -1,4 +1,4 @@
-"""Snapshot store: checkpointed frontier state with atomic commits.
+"""Snapshot store: checkpointed frontier state with atomic INCREMENTAL commits.
 
 North rule: "resumable from Iceberg-snapshot checkpoints with per-partition
 lineage + metrics". This sandbox has no Iceberg runtime jar, so the store
@@ -6,18 +6,42 @@ implements the same contract on parquet + a JSON manifest:
 
   root/
     _manifest.json            {"current": N, "snapshots": {N: {...meta}}}
-    snap=N/<table>/*.parquet  immutable snapshot data
+    snap=N/<table>/*.parquet  immutable snapshot data (base or delta)
 
 Commit protocol = write data dirs for snapshot N, then atomically rename a
 tmp manifest over _manifest.json (single-file rename = the same atomicity
 Iceberg gets from its catalog pointer swap). A crash mid-write leaves the
 manifest pointing at snapshot N-1 — resume re-runs iteration N from its
 inputs, which are all snapshot-N-1 tables, so the rerun is deterministic and
-idempotent. On a real cluster, swap SnapshotStore for Iceberg
-`writeTo(...).createOrReplace()` — the engine code paths are identical.
+idempotent. On a real cluster, swap SnapshotStore for Iceberg — the table
+modes below map 1:1 onto Iceberg append / merge-on-read / upsert commits.
+
+Table modes (the 100 TB fix for "every iteration rewrites the full table" —
+at 10^10 seen URLs the urlseen table is ~1 TB of parquet, so per-iteration
+I/O must be O(batch), not O(state)):
+
+  base    — plain parquet dir (bootstrap, and what compaction produces).
+  append  — per-snapshot delta segments; read = union of segments. Exact
+            for urlseen because each batch is anti-joined against the full
+            seen set before scheduling (disjointness invariant).
+  mor     — merge-on-read with per-segment sequence numbers: add segments
+            (redirect discoveries) and delete segments (scheduled batches).
+            A delete at seq d kills same-key rows with seq < d, so a URL
+            re-discovered AFTER being scheduled re-enters the frontier —
+            exactly the semantics of the old eager `(frontier − batch) ∪
+            redirects` rewrite. Duplicate adds resolve oldest-wins.
+  upsert  — newest row per key wins across segments (host_state: only the
+            hosts *touched this iteration* are written; untouched hosts'
+            rows carry from older segments).
+
+Every `compact_every` delta segments a table is folded back to a base dir
+(Iceberg's rewrite_data_files), bounding read-side resolution cost; between
+compactions the manifest marks derived row counts `rows_exact: false` where
+the arithmetic could drift (mor with adds — a re-discovered URL may already
+sit in the frontier).
 
 Each snapshot records metrics + per-partition lineage (rows per partition of
-each table) in the manifest.
+each written delta/base) in the manifest.
 """
 
 from __future__ import annotations
@@ -27,14 +51,17 @@ import os
 import shutil
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
 
 
 class SnapshotStore:
-    def __init__(self, root: str, spark: SparkSession):
+    def __init__(self, root: str, spark: SparkSession, compact_every: int = 8):
         self.root = root
         self.spark = spark
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- manifest
@@ -55,75 +82,233 @@ class SnapshotStore:
     def _table_dir(self, snap: int, table: str) -> str:
         return os.path.join(self.root, f"snap={snap}", table)
 
+    def _meta(self, table: str, snap: int) -> dict | None:
+        return (
+            self.manifest()["snapshots"].get(str(snap), {}).get("tables", {})
+        ).get(table)
+
     def read(self, table: str, snap: int | None = None) -> DataFrame:
         """Read via the MANIFEST path: carry-forward tables are recorded
         pointing at an older snapshot's data dir (manifest reuse), so
         resolving by directory convention would silently miss them — that
         bug dropped robots rules after the first iteration until the
-        crawl-order oracle test caught it."""
+        crawl-order oracle test caught it. Delta tables resolve to a
+        union/merge view of their segments (merge-on-read)."""
         if snap is None:
             snap = self.current_snapshot()
-        meta = (
-            self.manifest()["snapshots"].get(str(snap), {}).get("tables", {})
-        ).get(table)
-        path = meta["path"] if meta else self._table_dir(snap, table)
-        return self.spark.read.parquet(path)
+        meta = self._meta(table, snap)
+        if meta is None:
+            return self.spark.read.parquet(self._table_dir(snap, table))
+        return self._resolve(meta)
+
+    def _resolve(self, meta: dict) -> DataFrame:
+        mode = meta.get("mode", "base")
+        if mode == "base":
+            return self.spark.read.parquet(meta["path"])
+        if mode == "append":
+            return self.spark.read.parquet(
+                *[s["path"] for s in meta["segments"]]
+            )
+        # mor / upsert: tag rows with their segment sequence number
+        segs = meta["segments"]
+        rows = None
+        for s in segs:
+            part = self.spark.read.parquet(s["path"]).withColumn(
+                "_seq", F.lit(int(s["seq"]))
+            )
+            rows = part if rows is None else rows.unionByName(part)
+        key = meta["key"]
+        if mode == "upsert":
+            # newest segment wins per key; a segment never holds duplicate
+            # keys (writers upsert one row per key), so row_number is exact
+            w = Window.partitionBy(*key).orderBy(F.desc("_seq"))
+            return (
+                rows.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
+        # mor: a delete at seq d kills same-key rows with seq < d (same-
+        # snapshot adds survive their own batch's delete; later re-adds
+        # survive earlier deletes — the eager-rewrite semantics)
+        dels = None
+        for s in meta.get("delete_segments", []):
+            part = (
+                self.spark.read.parquet(s["path"])
+                .select(*key)
+                .withColumn("_dseq", F.lit(int(s["seq"])))
+            )
+            dels = part if dels is None else dels.unionByName(part)
+        if dels is not None:
+            dels = dels.groupBy(*key).agg(F.max("_dseq").alias("_dseq"))
+            rows = rows.join(maybe_broadcast(dels), key, "left").where(
+                F.col("_dseq").isNull() | (F.col("_seq") >= F.col("_dseq"))
+            ).drop("_dseq")
+        if len(segs) > 1:
+            # duplicate adds possible only once add segments exist beyond
+            # the base (a redirect target already in the frontier): the
+            # existing (oldest) row wins, deterministically
+            w = Window.partitionBy(*key).orderBy(F.asc("_seq"))
+            rows = (
+                rows.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return rows.drop("_seq")
 
     def exists(self, table: str, snap: int | None = None) -> bool:
         if snap is None:
             snap = self.current_snapshot()
         if snap < 0:
             return False
-        tables = self.manifest()["snapshots"].get(str(snap), {}).get("tables", {})
-        if table in tables:
+        if self._meta(table, snap) is not None:
             return True
         return os.path.isdir(self._table_dir(snap, table))
 
+    # ---------------------------------------------------------------- write
+    def _write(self, df: DataFrame, path: str) -> tuple[list[dict], int]:
+        """Write df to path (clearing a crashed partial write) and return
+        (per-partition lineage, row count) from one post-write scan."""
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        lineage = [
+            {"partition": r["p"], "rows": r["n"]}
+            for r in self.spark.read.parquet(path)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return lineage, sum(e["rows"] for e in lineage)
+
+    def _as_segments(self, meta: dict | None) -> tuple[list[dict], list[dict]]:
+        """Previous entry → (segments, delete_segments) lists."""
+        if meta is None:
+            return [], []
+        if meta.get("mode", "base") == "base":
+            return (
+                [{"path": meta["path"], "seq": meta.get("seq", 0), "rows": meta["rows"]}],
+                [],
+            )
+        return list(meta["segments"]), list(meta.get("delete_segments", []))
+
     def commit(
         self,
-        tables: dict[str, DataFrame],
+        tables: dict[str, DataFrame] | None = None,
         metrics: dict[str, Any] | None = None,
         carry_forward: list[str] | None = None,
         row_metrics: dict[str, str] | None = None,
+        appends: dict[str, DataFrame] | None = None,
+        mor: dict[str, dict[str, Any]] | None = None,
+        upserts: dict[str, dict[str, Any]] | None = None,
     ) -> int:
-        """Write `tables` as snapshot current+1 and atomically publish it.
+        """Write snapshot current+1 and atomically publish it.
+
+        `tables` are full rewrites (base mode). `appends[name]` appends a
+        delta segment to name's previous entry. `mor[name]` is
+        {"add": df|None, "delete": df|None, "key": [cols]} — merge-on-read
+        deltas. `upserts[name]` is {"df": df, "key": [cols]} — newest row
+        per key wins. Delta tables whose segment count exceeds
+        `compact_every` are folded to a base dir in the same commit.
 
         `carry_forward` names tables copied by reference from the previous
         snapshot (manifest records the older path — no data rewrite, like
         Iceberg manifest reuse).
 
         `row_metrics` maps metric name → table name; the metric value is
-        that table's total row count, derived from the lineage scan that
-        commit performs anyway — so callers never re-execute a plan just to
-        count its rows."""
+        that table's total row count, derived from the lineage scan commit
+        performs anyway — so callers never re-execute a plan just to count
+        its rows."""
         man = self.manifest()
-        snap = man["current"] + 1
+        prev_snap = man["current"]
+        snap = prev_snap + 1
         snap_meta: dict[str, Any] = {"tables": {}, "metrics": metrics or {}}
 
-        for name, df in tables.items():
+        for name, df in (tables or {}).items():
             path = self._table_dir(snap, name)
-            if os.path.exists(path):
-                shutil.rmtree(path)  # crashed partial write of this snap
-            df.write.mode("overwrite").parquet(path)
-            # per-partition lineage: rows per file partition
-            lineage = [
-                {"partition": r["p"], "rows": r["n"]}
-                for r in self.spark.read.parquet(path)
-                .groupBy(F.spark_partition_id().alias("p"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ]
+            lineage, rows = self._write(df, path)
             snap_meta["tables"][name] = {
                 "path": path,
                 "lineage": lineage,
-                "rows": sum(e["rows"] for e in lineage),
+                "rows": rows,
             }
+
+        for name, df in (appends or {}).items():
+            prev = self._meta(name, prev_snap)
+            segs, _ = self._as_segments(prev)
+            path = os.path.join(self._table_dir(snap, name), "add")
+            lineage, n_delta = self._write(df, path)
+            # an empty delta adds no segment (no read-side cost) — unless it
+            # is the only segment, which read() needs for the schema
+            if n_delta or not segs:
+                segs.append({"path": path, "seq": snap, "rows": n_delta})
+            entry = {
+                "mode": "append",
+                "segments": segs,
+                "lineage": lineage,
+                "rows": sum(s["rows"] for s in segs),
+                "delta_rows": n_delta,
+                "rows_exact": (prev or {}).get("rows_exact", True),
+            }
+            snap_meta["tables"][name] = self._maybe_compact(snap, name, entry)
+
+        for name, spec in (mor or {}).items():
+            prev = self._meta(name, prev_snap)
+            segs, dsegs = self._as_segments(prev)
+            exact = (prev or {}).get("rows_exact", True)
+            rows = (prev or {}).get("rows", 0)
+            lineage: list[dict] = []
+            add = spec.get("add")
+            if add is not None:
+                path = os.path.join(self._table_dir(snap, name), "add")
+                lin, n_add = self._write(add, path)
+                lineage += lin
+                if n_add or not segs:
+                    segs.append({"path": path, "seq": snap, "rows": n_add})
+                if n_add:
+                    rows += n_add
+                    exact = False  # an add may duplicate a live key
+            delete = spec.get("delete")
+            if delete is not None:
+                path = os.path.join(self._table_dir(snap, name), "delete")
+                lin, n_del = self._write(delete, path)
+                lineage += lin
+                if n_del:
+                    dsegs.append({"path": path, "seq": snap, "rows": n_del})
+                    rows -= n_del  # deletes target live keys (batch ⊆ frontier)
+            entry = {
+                "mode": "mor",
+                "key": list(spec["key"]),
+                "segments": segs,
+                "delete_segments": dsegs,
+                "lineage": lineage,
+                "rows": rows,
+                "rows_exact": exact,
+            }
+            snap_meta["tables"][name] = self._maybe_compact(snap, name, entry)
+
+        for name, spec in (upserts or {}).items():
+            prev = self._meta(name, prev_snap)
+            segs, _ = self._as_segments(prev)
+            path = os.path.join(self._table_dir(snap, name), "upsert")
+            lineage, n_delta = self._write(spec["df"], path)
+            if n_delta or not segs:  # keep one segment for the schema
+                segs.append({"path": path, "seq": snap, "rows": n_delta})
+            entry = {
+                "mode": "upsert",
+                "key": list(spec["key"]),
+                "segments": segs,
+                "lineage": lineage,
+                # rows = live keys; only exact at compaction
+                "rows": sum(s["rows"] for s in segs),
+                "rows_exact": len(segs) == 1,
+            }
+            snap_meta["tables"][name] = self._maybe_compact(snap, name, entry)
 
         for metric, table in (row_metrics or {}).items():
             snap_meta["metrics"][metric] = snap_meta["tables"][table]["rows"]
 
         for name in carry_forward or []:
-            prev = man["snapshots"][str(man["current"])]["tables"][name]
+            prev = man["snapshots"][str(prev_snap)]["tables"][name]
             snap_meta["tables"][name] = prev
 
         man["snapshots"][str(snap)] = snap_meta
@@ -134,6 +319,24 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path())  # atomic publish
         return snap
 
+    def _maybe_compact(self, snap: int, name: str, entry: dict) -> dict:
+        """Fold a delta chain back to a base dir once it exceeds
+        compact_every segments (counting delete segments) — bounds the
+        read-side merge cost and restores exact row counts."""
+        n_segs = len(entry["segments"]) + len(entry.get("delete_segments", []))
+        if n_segs <= self.compact_every:
+            return entry
+        resolved = self._resolve(entry)
+        path = os.path.join(self._table_dir(snap, name), "compacted")
+        lineage, rows = self._write(resolved, path)
+        return {
+            "mode": "base",
+            "path": path,
+            "seq": snap,
+            "lineage": lineage,
+            "rows": rows,
+            "rows_exact": True,
+        }
+
     def read_at(self, table: str, snap: int) -> DataFrame:
-        meta = self.manifest()["snapshots"][str(snap)]["tables"][table]
-        return self.spark.read.parquet(meta["path"])
+        return self._resolve(self.manifest()["snapshots"][str(snap)]["tables"][table])

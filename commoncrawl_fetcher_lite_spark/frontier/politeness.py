@@ -5,7 +5,9 @@ Net-new machinery the north rule requires; the reference's only politeness
 is a global thread cap + 503 backoff ladder (BackoffHttpFetcher.java:74-107,
 README.md:169-172). Here politeness is PER-HOST and deterministic:
 
-  * robots: broadcast join on host, drop URLs under any disallow prefix.
+  * robots: size-gated join on host (broadcast only when stats prove the
+    robots table small — see functions/joins.py), drop URLs under any
+    disallow prefix.
   * quota: a real cross-batch token bucket — refill_tokens computes each
     host's available tokens min(burst + rate·dt, tokens + rate·dt) from
     the host_state table committed with the previous snapshot, and
@@ -32,20 +34,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
+
 
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose URL path starts with any disallow prefix for
-    its host. robots: (host, disallow_prefixes array<string>, crawl_delay_s).
-    Broadcast join — robots tables are small (one row per host)."""
-    path = F.regexp_replace(
-        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+    """Drop candidates blocked by their host's robots rules, RFC 9309
+    longest-match: among matching Disallow/Allow prefixes the longest wins,
+    ties go to Allow (so `Allow: /public` under `Disallow: /` admits
+    /public/*). robots: (host, disallow_prefixes, [allow_prefixes],
+    crawl_delay_s) — a frame without allow_prefixes (prefix-blocking only)
+    still works.
+
+    Size-gated join — robots is one row per host, which is small at test
+    scale but ~10^7 rows at CC scale (robots.py:20-22): broadcast only when
+    stats prove it under the session threshold, else shuffle join on host.
+    The path is let-bound (functions/letbind) so the regexp runs once per
+    row — a plain withColumn would be projection-collapsed back into every
+    HOF element evaluation."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    joined = candidates.join(maybe_broadcast(robots), "host", "left")
+
+    def blocked_for(path: Column) -> Column:
+        def max_match(col_name: str) -> Column:
+            prefixes = (
+                F.coalesce(F.col(col_name), F.array())
+                if col_name in joined.columns
+                else F.array()
+            )
+            return F.aggregate(
+                F.filter(prefixes, lambda p: path.startswith(p)),
+                F.lit(0),
+                lambda acc, p: F.greatest(acc, F.length(p)),
+            )
+
+        return max_match("disallow_prefixes") > max_match("allow_prefixes")
+
+    blocked = let(
+        F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        blocked_for,
     )
-    joined = candidates.join(F.broadcast(robots), "host", "left")
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
+    drop = ["disallow_prefixes"] + (
+        ["allow_prefixes"] if "allow_prefixes" in joined.columns else []
     )
-    return joined.where(~blocked).drop("disallow_prefixes")
+    return joined.where(~blocked).drop(*drop)
 
 
 def host_quota(
@@ -71,7 +103,9 @@ def host_quota(
     rate = F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
     if robots is not None:
         hb = hb.join(
-            F.broadcast(robots.select("host", "crawl_delay_s")), "host", "outer"
+            maybe_broadcast(robots.select("host", "crawl_delay_s")),
+            "host",
+            "outer",
         )
         rate = F.coalesce(F.col("tokens_per_sec"), F.lit(default_tokens_per_sec))
         rate = F.when(
@@ -128,7 +162,7 @@ def refill_tokens(
             burst = dflt[0]["burst"]
             max_per_batch = dflt[0]["max_per_batch"]
         out = out.join(
-            F.broadcast(
+            maybe_broadcast(
                 host_budget.where(F.col("host") != "*").select(
                     "host",
                     F.col("tokens_per_sec").alias("_rate"),
@@ -150,7 +184,9 @@ def refill_tokens(
     rate = F.coalesce(F.col("_rate"), F.lit(float(tokens_per_sec)))
     if robots is not None:
         out = out.join(
-            F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
+            maybe_broadcast(robots.select("host", "crawl_delay_s")),
+            "host",
+            "left",
         )
         rate = F.when(
             F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
@@ -160,8 +196,11 @@ def refill_tokens(
     maxpb = F.coalesce(F.col("_maxpb"), F.lit(int(max_per_batch)))
     refill = rate * F.lit(float(batch_seconds))
     avail = F.least(brst + refill, F.coalesce(F.col("tokens"), brst) + refill)
+    # host_state grows with every host ever scheduled (~10^7+ at CC scale):
+    # a forced broadcast OOMs exactly at the 10^10-URL scale this module
+    # claims — gate on proven size instead (ADVICE r2).
     return (
-        out.join(F.broadcast(host_state), "host", "left")
+        out.join(maybe_broadcast(host_state), "host", "left")
         .select(
             "host",
             avail.alias("avail"),
@@ -200,7 +239,7 @@ def schedule_batch(
         + F.coalesce(F.col("recrawl_score"), F.lit(0.0))
     )
     df = candidates.withColumn("_prio", prio)
-    df = df.join(F.broadcast(host_quotas), "host", "left")
+    df = df.join(maybe_broadcast(host_quotas), "host", "left")
     df = df.withColumn("quota", F.coalesce(F.col("quota"), F.lit(default_quota)))
 
     df = df.withColumn(

@@ -8,11 +8,14 @@ follow the public Robots Exclusion Protocol (RFC 9309):
   * groups of `User-agent:` lines followed by rules; the group applied is
     the one whose user-agent token is the LONGEST case-insensitive
     substring match for our agent, falling back to `*`.
-  * `Disallow:` values collect as path prefixes; an empty Disallow means
-    allow-everything (contributes no prefix).
-  * `Allow:` lines are intentionally NOT modeled — apply_robots is
-    prefix-blocking only (conservative: we may skip some allowed URLs,
-    never fetch a disallowed one). Documented simplification.
+  * `Disallow:` / `Allow:` values collect as path prefixes; an empty value
+    means allow-everything (contributes no prefix).
+  * precedence is RFC 9309 longest-match: the matching rule with the most
+    octets wins, ties go to Allow — so `Allow: /public` under
+    `Disallow: /` admits /public/* while blocking the rest
+    (politeness.apply_robots implements the comparison as two HOF
+    max-match-length aggregates). `*`/`$` wildcards are not modeled
+    (prefix semantics only — the common-case subset).
   * `Crawl-delay:` parses as seconds (non-standard but ubiquitous; fed to
     host_quota's token-rate cap, politeness.py:69-76).
 
@@ -31,20 +34,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
-def parse_robots_txt(body: str, agent: str = "*") -> tuple[list[str], float | None]:
-    """→ (disallow_prefixes, crawl_delay_s) for the best-matching UA group."""
+def parse_robots_txt(
+    body: str, agent: str = "*"
+) -> tuple[list[str], list[str], float | None]:
+    """→ (disallow_prefixes, allow_prefixes, crawl_delay_s) for the
+    best-matching UA group."""
     agent_lc = (agent or "*").lower()
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[str] = []
+    cur_allows: list[str] = []
     cur_delay: float | None = None
     in_rules = False
 
     def flush() -> None:
-        nonlocal cur_agents, cur_rules, cur_delay, in_rules
+        nonlocal cur_agents, cur_rules, cur_allows, cur_delay, in_rules
         if cur_agents:
-            groups.append((cur_agents, cur_rules, cur_delay))
-        cur_agents, cur_rules, cur_delay, in_rules = [], [], None, False
+            groups.append((cur_agents, cur_rules, cur_allows, cur_delay))
+        cur_agents, cur_rules, cur_allows, cur_delay = [], [], [], None
+        in_rules = False
 
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -61,6 +69,8 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[list[str], float | No
             in_rules = True
             if field == "disallow" and value:
                 cur_rules.append(value)
+            elif field == "allow" and value:
+                cur_allows.append(value)
             elif field == "crawl-delay":
                 try:
                     cur_delay = float(value)
@@ -68,8 +78,8 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[list[str], float | No
                     pass
     flush()
 
-    best: tuple[int, list[str], float | None] | None = None
-    for agents, rules, delay in groups:
+    best: tuple[int, list[str], list[str], float | None] | None = None
+    for agents, rules, allows, delay in groups:
         for ua in agents:
             if ua == "*":
                 score = 0
@@ -78,16 +88,17 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[list[str], float | No
             else:
                 continue
             if best is None or score > best[0]:
-                best = (score, rules, delay)
+                best = (score, rules, allows, delay)
     if best is None:
-        return [], None
-    return best[1], best[2]
+        return [], [], None
+    return best[1], best[2], best[3]
 
 
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType())),
         T.StructField("crawl_delay_s", T.DoubleType()),
     ]
 )
@@ -108,11 +119,12 @@ def robots_frame(
                 continue
             rows = []
             for host, body in zip(pdf["host"], pdf["body"]):
-                prefixes, delay = parse_robots_txt(body, agent)
+                prefixes, allows, delay = parse_robots_txt(body, agent)
                 rows.append(
                     {
                         "host": host,
                         "disallow_prefixes": prefixes,
+                        "allow_prefixes": allows,
                         "crawl_delay_s": delay,
                     }
                 )

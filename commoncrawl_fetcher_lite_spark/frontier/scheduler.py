@@ -10,6 +10,14 @@ state, not streaming state):
     all outputs committed as ONE snapshot → crash-resume re-runs the
     iteration deterministically from the previous snapshot.
 
+State commits are INCREMENTAL (round-3 fix for the 100 TB ceiling): each
+snapshot writes only O(batch) rows — urlseen appends the batch (exact:
+batch is anti-joined against the full seen set, so deltas are disjoint),
+frontier commits merge-on-read add/delete segments, host_state upserts the
+hosts touched this round. The SnapshotStore resolves reads as a merged view
+and compacts every K snapshots; at 10^10 seen URLs this turns ~1 TB of
+parquet I/O per iteration into megabytes.
+
 The reference has no analog (restart = refetch the world); this is the
 net-new north-rule machinery. Politeness/priority semantics live in
 politeness.py; seen semantics in urlseen.py; this module is the
@@ -109,24 +117,24 @@ def run_iteration(
         candidates, quotas, default_quota=0, n_salt=cfg.n_salt
     ).localCheckpoint(eager=True)
 
-    # carry state for hosts with no candidates this round (their debt must
-    # not reset); hosts scheduled this round get (avail - n_scheduled)
+    # only hosts refilled this round get a new state row — untouched hosts'
+    # rows carry via older upsert segments (their debt must not reset);
+    # hosts scheduled this round get (avail - n_scheduled)
     new_state = debit_tokens(refilled, batch.select("host"))
-    if prev_state is not None:
-        new_state = new_state.unionByName(
-            prev_state.join(refilled.select("host"), "host", "left_anti")
-        )
 
     fetched = fetch_fn(batch) if fetch_fn is not None else batch
 
-    # state updates — all pure DataFrame ops over snapshot inputs.
-    # dedup on (url_hash, url): a 64-bit collision must not evict a
-    # distinct URL from the seen set (exactness contract, urls.py:96).
+    # state deltas — each O(batch), never O(state):
+    #   urlseen  += batch (APPEND; exact: filter_unseen guarantees the batch
+    #              is disjoint from seen, and frontier rows are unique on
+    #              (url_hash, url) — a 64-bit collision never evicts a
+    #              distinct URL, the exactness contract of urls.py:96)
+    #   frontier −= batch (MOR delete), += redirects (MOR add)
     batch_urls = batch.select("url_hash", "url")
-    new_seen = seen.unionByName(batch_urls).dropDuplicates(["url_hash", "url"])
-    new_frontier = frontier.join(batch_urls, ["url_hash", "url"], "left_anti")
+    frontier_adds = None
     # frontier merge (§2.8): redirect targets discovered by the fetch join
-    # the frontier as fresh candidates (deduped against seen next round)
+    # the frontier as fresh candidates (deduped against seen next round;
+    # a target already in the frontier resolves oldest-wins at read)
     if fetch_fn is not None and "redirect" in fetched.columns:
         from commoncrawl_fetcher_lite_spark.functions.urls import host_of
 
@@ -138,17 +146,13 @@ def run_iteration(
             .withColumn("discovered_ts", F.lit(None).cast("timestamp"))
             .withColumn("recrawl_score", F.lit(0.0))
         )
-        redirects = with_url_hash(redirects).select(*new_frontier.columns)
-        new_frontier = new_frontier.unionByName(redirects).dropDuplicates(
-            ["url_hash", "url"]
+        frontier_adds = (
+            with_url_hash(redirects)
+            .select(*frontier.columns)
+            .dropDuplicates(["url_hash", "url"])
         )
 
-    tables = {
-        "frontier": new_frontier,
-        "urlseen": new_seen,
-        "batch": batch_urls,
-        "host_state": new_state,
-    }
+    tables = {"batch": batch_urls}
     if fetch_fn is not None:
         tables["fetched"] = fetched
     carry = ["robots"] if robots is not None else []
@@ -157,6 +161,15 @@ def run_iteration(
     # executions of the seen/frontier plans just to fill metrics
     snap = store.commit(
         tables,
+        appends={"urlseen": batch_urls},
+        mor={
+            "frontier": {
+                "add": frontier_adds,
+                "delete": batch_urls,
+                "key": ["url_hash", "url"],
+            }
+        },
+        upserts={"host_state": {"df": new_state, "key": ["host"]}},
         carry_forward=carry,
         row_metrics={
             "scheduled": "batch",

@@ -87,6 +87,10 @@ ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        # RFC 9309 Allow prefixes (longest-match beats Disallow, ties to
+        # Allow); frames without this column still work — apply_robots
+        # treats it as empty (prefix-blocking only)
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType())),
         T.StructField("crawl_delay_s", T.DoubleType()),
     ]
 )

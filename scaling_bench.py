@@ -333,10 +333,15 @@ def main() -> None:
     eff_frontier = _median([p["eff_frontier"] for p in use])
     eff_cdx = _median([p["eff_cdx"] for p in use])
     eff_scan = _median([p.get("eff_scan", 0.0) for p in use])
-    results = {
-        n: use[0]["level_n"],
-        n4: use[0]["level_n4"],
-    }
+
+    # leg-median efficiency: median rate per LEG first, then the ratio —
+    # robust to a single contended leg poisoning its pair (a pair ratio
+    # mixes one leg's contention into the other's clean measurement)
+    def _leg_eff(key: str) -> float:
+        lo = _median([p["level_n"][key] for p in use])
+        hi = _median([p["level_n4"][key] for p in use])
+        return round(hi / lo / ratio, 3) if lo else 0.0
+
     summary = {
         "levels": LEVELS,
         "n_pairs": len(pairs),
@@ -344,6 +349,9 @@ def main() -> None:
         "efficiency_frontier": round(eff_frontier, 3),
         "efficiency_cdx": round(eff_cdx, 3),
         "efficiency_scan": round(eff_scan, 3),
+        "efficiency_frontier_legmedian": _leg_eff("frontier_urls_per_sec"),
+        "efficiency_cdx_legmedian": _leg_eff("cdx_lines_per_sec"),
+        "efficiency_scan_legmedian": _leg_eff("scan_urls_per_sec"),
         "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
         "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],
         "efficiency_scan_all": [p.get("eff_scan") for p in pairs],
@@ -388,8 +396,11 @@ North-rule target ≥ 0.8.
 {pair_rows}
 
 Per-level raw JSON: BENCH/scaling_pairs.jsonl. Each level's timing is the
-minimum of {REPS} reps inside one JVM; 'quiet' means neither run of the
-pair saw loadavg beyond its own worker's demand ({n}x1.5 / {n4}x1.3).
+minimum of {REPS} reps inside one JVM; 'quiet' means each leg's FIRST
+loadavg sample — taken before its workloads started — was <= 3.5 (samples
+taken during a run cannot separate own load from other tenants', and this
+box's loadavg is inflated by tenants' D-state I/O, so the gate is a weak
+filter, not proof of an uncontended box).
 Input: {N_CDX_FILES} gzip cdx files so both levels have full file-level
 parallelism (gzip is unsplittable — 1 task per file, the reference's
 worker-per-file granularity).

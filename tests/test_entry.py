@@ -76,3 +76,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"url", "host", "host_rank", "effective_priority"}
+
+
+def test_minhash_oracle_corpus_invariant(spark):
+    """q_minhash_lsh's exact all-pairs oracle is sound only while the
+    corpus has no moderate-similarity pairs: banded LSH at bands=32/rows=2
+    misses a J=0.5 true pair w.p. ~1e-4, but a J>=0.85 pair w.p. <1e-20.
+    Pin the generator invariant (no pairs with 0.4 <= J < 0.85) so data
+    drift fails loudly here instead of as a rare driver hash flake
+    (ADVICE r2)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sims = [
+        r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    ]
+    assert sims, "corpus lost its true near-dup pairs"
+    assert min(sims) >= 0.85, f"moderate-similarity pair: min J={min(sims)}"

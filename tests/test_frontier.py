@@ -199,19 +199,22 @@ def test_parse_robots_txt_groups():
     from commoncrawl_fetcher_lite_spark.frontier.robots import parse_robots_txt
 
     # wildcard group
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="*")
+    prefixes, allows, delay = parse_robots_txt(ROBOTS_BODY, agent="*")
     assert prefixes == ["/private/", "/tmp/"] and delay == 2.0
-    # specific UA beats wildcard; multiple UA lines share one group
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="CCBot/2.0")
+    assert allows == []
+    # specific UA beats wildcard; multiple UA lines share one group;
+    # Allow lines collect per group
+    prefixes, allows, delay = parse_robots_txt(ROBOTS_BODY, agent="CCBot/2.0")
     assert prefixes == ["/no-cc/"] and delay == 0.5
-    prefixes, _ = parse_robots_txt(ROBOTS_BODY, agent="goodbot")
+    assert allows == ["/no-cc/except"]
+    prefixes, _, _ = parse_robots_txt(ROBOTS_BODY, agent="goodbot")
     assert prefixes == ["/no-cc/"]
     # unknown agents fall back to *
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, agent="whoever")
+    prefixes, allows, delay = parse_robots_txt(ROBOTS_BODY, agent="whoever")
     assert prefixes == ["/private/", "/tmp/"] and delay == 2.0
     # empty / rule-less bodies
-    assert parse_robots_txt("", "x") == ([], None)
-    assert parse_robots_txt("User-agent: *\nDisallow:", "x") == ([], None)
+    assert parse_robots_txt("", "x") == ([], [], None)
+    assert parse_robots_txt("User-agent: *\nDisallow:", "x") == ([], [], None)
 
 
 def test_robots_frame_feeds_apply_robots(spark):
@@ -388,3 +391,186 @@ def test_recrawl_score_model(spark):
     assert abs(out["u2"][0] - round(1 - math.exp(-1.0), 6)) < 1e-9
     assert out["u3"][0] > out["u2"][0] > out["u1"][0]
     assert out["u4"][0] == 0.0  # never negative-age
+
+
+def test_incremental_snapshot_commits(spark, seeds_df, robots_df, tmp_path):
+    """100 TB contract: snapshot N writes O(batch) rows, not O(state) —
+    urlseen commits an append delta whose lineage rows equal that
+    snapshot's batch size; frontier commits merge-on-read segments instead
+    of a full rewrite (VERDICT r2 #1)."""
+    cfg = FrontierConfig(n_salt=4, default_max_per_batch=200)
+    store = SnapshotStore(str(tmp_path / "st"), spark)
+    bootstrap(store, seeds_df.limit(2000), robots_df)
+    run(store, cfg, 3, batch_seconds=60.0)
+
+    man = store.manifest()
+    for snap in ("1", "2", "3"):
+        meta = man["snapshots"][snap]
+        seen_entry = meta["tables"]["urlseen"]
+        batch_rows = meta["tables"]["batch"]["rows"]
+        assert seen_entry["mode"] == "append"
+        assert seen_entry["delta_rows"] == batch_rows
+        # the lineage scan covers ONLY what this snapshot wrote
+        written = sum(e["rows"] for e in seen_entry["lineage"])
+        assert written == batch_rows
+        assert written < seen_entry["rows"] or snap == "1"
+
+    # cumulative totals stay exact (append disjointness invariant)
+    s3 = man["snapshots"]["3"]["tables"]["urlseen"]
+    assert s3["rows"] == store.read("urlseen").count()
+    # frontier: MOR entry with one delete segment per iteration, exact
+    # count while no redirect adds exist
+    fr = man["snapshots"]["3"]["tables"]["frontier"]
+    assert fr["mode"] == "mor"
+    assert len(fr["delete_segments"]) == 3
+    assert fr["rows_exact"] and fr["rows"] == store.read("frontier").count()
+    # host_state: upsert deltas only for hosts touched that round
+    hs = man["snapshots"]["3"]["tables"]["host_state"]
+    assert hs["mode"] == "upsert" and len(hs["segments"]) == 3
+
+
+def test_snapshot_compaction_equivalence(spark, seeds_df, robots_df, tmp_path):
+    """Compaction (fold delta chain to a base dir every K segments) must be
+    invisible: a compact_every=2 store and a never-compacting store agree
+    on every state table after 5 iterations, and the compacted chain stays
+    bounded."""
+    cfg = FrontierConfig(n_salt=4, default_max_per_batch=100)
+    seeds = seeds_df.limit(1200)
+
+    store = SnapshotStore(str(tmp_path / "a"), spark, compact_every=2)
+    bootstrap(store, seeds, robots_df)
+    results = run(store, cfg, 5, batch_seconds=60.0)
+
+    man = store.manifest()
+    modes = [
+        man["snapshots"][str(r.snapshot)]["tables"]["urlseen"].get("mode")
+        for r in results
+    ]
+    assert "base" in modes, "compaction never fired"
+    for r in results:
+        e = man["snapshots"][str(r.snapshot)]["tables"]["frontier"]
+        n = len(e.get("segments", [])) + len(e.get("delete_segments", []))
+        assert n <= 3, "delta chain unbounded"
+
+    store2 = SnapshotStore(str(tmp_path / "b"), spark, compact_every=10**9)
+    bootstrap(store2, seeds, robots_df)
+    run(store2, cfg, 5, batch_seconds=60.0)
+    for table in ("urlseen", "frontier", "host_state"):
+        a = {tuple(r) for r in store.read(table).collect()}
+        b = {tuple(r) for r in store2.read(table).collect()}
+        assert a == b, f"{table} diverged under compaction"
+
+
+def test_mor_and_upsert_resolution_semantics(spark, tmp_path):
+    """SnapshotStore delta algebra, directly: deletes kill same-key rows
+    from OLDER segments only (same-snapshot adds and later re-adds
+    survive), duplicate adds resolve oldest-wins, upserts newest-wins with
+    untouched keys carried."""
+    store = SnapshotStore(str(tmp_path / "st"), spark, compact_every=100)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, u string, v long"
+    )
+    store.commit(tables={"t": base})
+
+    # snap 1: delete (1,a); add (3,c), a dup of LIVE (2,b), and (9,z) which
+    # is both added and deleted in the SAME snapshot (redirect-to-self)
+    store.commit(
+        mor={
+            "t": {
+                "add": spark.createDataFrame(
+                    [(3, "c", 30), (2, "b", 99), (9, "z", 90)],
+                    "k long, u string, v long",
+                ),
+                "delete": spark.createDataFrame(
+                    [(1, "a"), (9, "z")], "k long, u string"
+                ),
+                "key": ["k", "u"],
+            }
+        }
+    )
+    got = {(r["k"], r["u"]): r["v"] for r in store.read("t").collect()}
+    assert got == {(2, "b"): 20, (3, "c"): 30, (9, "z"): 90}
+
+    # snap 2: re-add (1,a) AFTER its deletion → re-enters
+    store.commit(
+        mor={
+            "t": {
+                "add": spark.createDataFrame([(1, "a", 11)], "k long, u string, v long"),
+                "delete": None,
+                "key": ["k", "u"],
+            }
+        }
+    )
+    got = {(r["k"], r["u"]): r["v"] for r in store.read("t").collect()}
+    assert got[(1, "a")] == 11 and got[(2, "b")] == 20
+
+    # upsert table: newest wins, untouched keys carry forward
+    store.commit(
+        upserts={
+            "h": {
+                "df": spark.createDataFrame(
+                    [("x", 1.0), ("y", 2.0)], "host string, tokens double"
+                ),
+                "key": ["host"],
+            }
+        }
+    )
+    store.commit(
+        upserts={
+            "h": {
+                "df": spark.createDataFrame([("x", 5.0)], "host string, tokens double"),
+                "key": ["host"],
+            }
+        }
+    )
+    got = {r["host"]: r["tokens"] for r in store.read("h").collect()}
+    assert got == {"x": 5.0, "y": 2.0}
+
+
+def test_robots_allow_longest_match(spark):
+    """RFC 9309 precedence: among matching prefixes the longest wins, ties
+    go to Allow — the classic `Allow: /public` under `Disallow: /` admits
+    /public/* while blocking everything else; a longer Disallow under an
+    Allow re-blocks the subtree."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /public\n"
+        "Disallow: /public/secret/\n"
+    )
+    robots = robots_frame(
+        spark.createDataFrame([("a.com", body)], "host string, robots_txt string")
+    )
+    got = robots.collect()[0]
+    assert got["disallow_prefixes"] == ["/", "/public/secret/"]
+    assert got["allow_prefixes"] == ["/public"]
+
+    cands = spark.createDataFrame(
+        [
+            ("https://a.com/", "a.com"),
+            ("https://a.com/private/x", "a.com"),
+            ("https://a.com/public", "a.com"),
+            ("https://a.com/public/doc.html", "a.com"),
+            ("https://a.com/public/secret/x", "a.com"),
+            ("https://a.com/publicity", "a.com"),  # prefix, not path-segment:
+            # RFC prefix semantics admit it via Allow: /public
+        ],
+        "url string, host string",
+    )
+    kept = {r["url"] for r in apply_robots(cands, robots).collect()}
+    assert kept == {
+        "https://a.com/public",
+        "https://a.com/public/doc.html",
+        "https://a.com/publicity",
+    }
+    # tie at equal length goes to Allow
+    robots_tie = spark.createDataFrame(
+        [("b.com", ["/p/"], ["/p/"], None)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_s double",
+    )
+    tie = spark.createDataFrame([("https://b.com/p/x", "b.com")], "url string, host string")
+    assert apply_robots(tie, robots_tie).count() == 1

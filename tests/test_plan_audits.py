@@ -85,3 +85,62 @@ def test_frontier_antijoin_is_hash_keyed(spark):
     )
     plan = _plan(filter_unseen(seeds, seen))
     assert "LeftAnti" in plan and "url_hash" in plan
+
+
+def test_politeness_joins_size_gated(spark, tmp_path_factory):
+    """Host-keyed dim joins (robots, host_state) must broadcast ONLY when
+    stats prove them small: a robots table over the broadcast threshold
+    plans as a shuffle join (no driver/executor materialization at the
+    10^7-host scale), a small one still broadcasts (VERDICT r2 #2)."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+        apply_robots,
+        refill_tokens,
+    )
+
+    d = str(tmp_path_factory.mktemp("gate"))
+    cands = spark.createDataFrame(
+        [("https://h0/x", "h0")], "url string, host string"
+    )
+    small = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.array(F.lit("/private/")).alias("disallow_prefixes"),
+        F.lit(None).cast("double").alias("crawl_delay_s"),
+    )
+    small.write.parquet(d + "/small")
+    big = spark.range(30_000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.array(F.concat(F.lit("/private-prefix-"), F.col("id"))).alias(
+            "disallow_prefixes"
+        ),
+        F.lit(None).cast("double").alias("crawl_delay_s"),
+    )
+    big.write.parquet(d + "/big")
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+        plan_small = _plan(apply_robots(cands, spark.read.parquet(d + "/small")))
+        assert "BroadcastHashJoin" in plan_small
+        plan_big = _plan(apply_robots(cands, spark.read.parquet(d + "/big")))
+        assert "BroadcastHashJoin" not in plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+
+        # same gate on the host_state refill join
+        big_state = spark.range(30_000).select(
+            F.concat(F.lit("hs"), F.col("id")).alias("host"),
+            (F.col("id") * 1.0).alias("tokens"),
+        )
+        big_state.write.parquet(d + "/state")
+        plan_state = _plan(
+            refill_tokens(
+                spark.read.parquet(d + "/state"),
+                cands.select("host"),
+                60.0,
+                1.0,
+                10,
+                100,
+            )
+        )
+        assert "BroadcastHashJoin" not in plan_state
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
