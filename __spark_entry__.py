@@ -333,6 +333,26 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: minhash-LSH pairs (J>=0.5) → connected
+    components → (doc_id, cluster_id=min member), singletons included —
+    the transitive-closure step real corpus dedup needs (A~B~C collapses
+    to one exemplar even when A!~C). Oracle: DuckDB recursive CTE over the
+    exact all-pairs edge set."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        shingle_frame,
+        verify_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_frame(docs).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, bands=32, num_perm=64, shingles=sh)
+    pairs = verify_jaccard(cand, docs, threshold=0.5, shingles=sh)
+    return dedup_clusters(pairs, docs=docs).select("doc_id", "cluster_id")
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs. Oracle: exact all-pairs hamming
     over the same md5-prefix token-hash SimHash computed in pure SQL
@@ -358,6 +378,25 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return lsh_topk(q, emb, k=3, n_planes=4, n_rotations=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (cell-partitioned scale path): deterministic coarse
+    quantizer (lowest-id vectors as centroids), n_probe nearest cells per
+    query, exact cosine re-rank. Fully oracle-checked — the index is a
+    pure function of the data, so DuckDB recomputes assignment, probing,
+    and re-rank exactly."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk(q, emb, k=3, n_cells=16, n_probe=4).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -438,7 +477,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("robots_txt"),
     )
     robots = robots_frame(bodies, agent="ccbot")
-    return apply_robots(seeds, robots).select("url")
+    # broadcast=True: ~20 synthetic hosts, but mapInPandas output has no
+    # Catalyst stats so the auto gate would plan a shuffle join
+    return apply_robots(seeds, robots, broadcast=True).select("url")
 
 
 def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,9 +600,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     unseen = filter_unseen(seeds, with_url_hash(seen))
     quotas = spark.createDataFrame([], "host string, quota int")
-    return schedule_batch(unseen, quotas, default_quota=25, n_salt=4).select(
-        "url", "host", "host_rank", "effective_priority"
-    )
+    return schedule_batch(
+        unseen, quotas, default_quota=25, n_salt=4, broadcast=True
+    ).select("url", "host", "host_rank", "effective_priority")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -590,8 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "bpe_token_count": q_bpe_token_count,
@@ -650,6 +693,43 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "ivf_ann": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv, n AS cn
+                  FROM emb WHERE vec_id < 16),
+            assign AS (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn)
+                                    DESC, c.cid ASC) AS rnk
+                FROM emb e CROSS JOIN c),
+            cells AS (SELECT vec_id, cid FROM assign WHERE rnk = 1),
+            qprobe AS (SELECT vec_id AS query_id, cid
+                       FROM assign WHERE vec_id < 5 AND rnk <= 4),
+            cand AS (
+                SELECT DISTINCT q.query_id, m.vec_id AS neighbor_id
+                FROM qprobe q JOIN cells m USING (cid)
+                WHERE m.vec_id != q.query_id),
+            scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       ROUND(list_dot_product(eq.v, ec.v) / (eq.n * ec.n), 6)
+                           AS cos
+                FROM cand
+                JOIN emb eq ON eq.vec_id = cand.query_id
+                JOIN emb ec ON ec.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC)
+                             AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
         "mime_count": f"""
             WITH cdx AS ({_CDX_VIEW_SQL})
             SELECT mime,
@@ -806,6 +886,29 @@ def oracle_sql() -> dict[str, str]:
                            / len(list_distinct(list_concat(a.s, b.s))) AS j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
             WHERE j >= 0.2
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                   FROM t WHERE len(w) >= 3),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM p),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.node
+            )
+            SELECT node AS doc_id, MIN(m) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "embedding_neardup": """
             WITH v AS (

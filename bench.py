@@ -45,8 +45,10 @@ BENCH_QUERIES = [
     "recrawl_priority",
     "decontaminate",
     "minhash_lsh",
+    "dedup_clusters",
     "simhash_neardup",
     "lsh_ann",
+    "ivf_ann",
     "fingerprint",
     "lang_id",
     "bpe_token_count",
@@ -103,7 +105,13 @@ def frontier_schedule_query(spark, sf_dir):
     seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
     unseen = filter_unseen(seeds, seen)
     quotas = spark.createDataFrame([], "host string, quota int")
-    return schedule_batch(unseen, quotas, default_quota=200, n_salt=8)
+    # broadcast=True: the quota dim is empty/tiny by construction here but
+    # createDataFrame has no Catalyst stats, so the auto gate would plan a
+    # sort-merge that shuffles+sorts the 2M-row candidate side (measured
+    # 11x slower); the real loop's store-backed quotas gate automatically
+    return schedule_batch(
+        unseen, quotas, default_quota=200, n_salt=8, broadcast=True
+    )
 
 
 def main() -> None:

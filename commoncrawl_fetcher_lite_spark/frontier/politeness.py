@@ -37,7 +37,21 @@ from pyspark.sql import functions as F
 from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+def _gate(df: DataFrame, broadcast: bool | None) -> DataFrame:
+    """Join-side hint: None = stats-gated auto (store-backed frames have
+    accurate parquet/checkpoint stats); True = caller asserts the dim is
+    small by construction (synthetic test/bench frames have UNKNOWN stats,
+    and an unhinted 1-row dim degrades the join to a sort-merge that
+    shuffles+sorts the huge probe side — measured 11x on the frontier
+    bench); False = never broadcast."""
+    if broadcast is None:
+        return maybe_broadcast(df)
+    return F.broadcast(df) if broadcast else df
+
+
+def apply_robots(
+    candidates: DataFrame, robots: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """Drop candidates blocked by their host's robots rules, RFC 9309
     longest-match: among matching Disallow/Allow prefixes the longest wins,
     ties go to Allow (so `Allow: /public` under `Disallow: /` admits
@@ -53,7 +67,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     HOF element evaluation."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
-    joined = candidates.join(maybe_broadcast(robots), "host", "left")
+    joined = candidates.join(_gate(robots, broadcast), "host", "left")
 
     def blocked_for(path: Column) -> Column:
         def max_match(col_name: str) -> Column:
@@ -224,6 +238,7 @@ def schedule_batch(
     default_quota: int,
     n_salt: int = 16,
     priority_col: Column | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Emit the per-host top-quota candidates, deterministically.
 
@@ -239,7 +254,7 @@ def schedule_batch(
         + F.coalesce(F.col("recrawl_score"), F.lit(0.0))
     )
     df = candidates.withColumn("_prio", prio)
-    df = df.join(maybe_broadcast(host_quotas), "host", "left")
+    df = df.join(_gate(host_quotas, broadcast), "host", "left")
     df = df.withColumn("quota", F.coalesce(F.col("quota"), F.lit(default_quota)))
 
     df = df.withColumn(

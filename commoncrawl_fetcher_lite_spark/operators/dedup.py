@@ -465,3 +465,74 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ------------------------------------------- dedup cluster assignment
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the smallest member id (canonical representative).
+
+    This is the step from pair DETECTION (minhash/simhash/embedding) to
+    corpus DEDUP: keep rows where cluster_id == doc_id, drop the rest —
+    transitive closure matters because near-dup is not transitive at the
+    pair level (A~B, B~C but A!~C still must collapse to one exemplar).
+
+    Iterative min-label propagation: label(n) <- min(label(n), min over
+    neighbors' labels) until fixpoint. Each round is ONE shuffle on the
+    node key; labels are localCheckpointed per round so the plan stays
+    flat (no exponentially nested joins). Converges in <= cluster-diameter
+    rounds — near-dup graphs are shallow stars/cliques around exemplars,
+    so 2-4 rounds in practice; max_iter bounds pathological chains. When
+    `docs` is given, docs in no pair appear as singletons (cluster_id =
+    own id)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # reused every round
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr"))
+        )
+        stepped = (
+            labels.join(prop, F.col("node") == F.col("src"), "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce("nbr", "label")).alias(
+                    "new_label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    if docs is not None:
+        singles = docs.select(id_col).join(out, id_col, "left_anti")
+        out = out.unionByName(
+            singles.withColumn("cluster_id", F.col(id_col))
+        )
+    return out

@@ -246,7 +246,12 @@ def _run_worker(cpus: int) -> dict:
         # without this, a local[8] JVM's GC free-rides on the other 24
         # cores, inflating the small-N baseline and under-reading the
         # measured N->4N efficiency. taskset is the fair per-node stand-in.
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # SCALING_PIN_BASE moves the window off core 0 (softirq handling
+        # concentrates there — /proc/stat shows ~15x the softirq time of
+        # any other core — which taxes a 2-core leg far more than an
+        # 8-core one).
+        base = int(os.environ.get("SCALING_PIN_BASE", "0"))
+        cmd = ["taskset", "-c", f"{base}-{base + cpus - 1}"] + cmd
     proc = subprocess.run(
         cmd,
         env=env,

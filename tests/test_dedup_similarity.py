@@ -200,3 +200,57 @@ def test_decontaminate(spark):
     assert out[2] == (1, False)  # below min_overlap
     assert out[3] == (0, False)
     assert out[4] == (0, False)
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Transitive closure over near-dup pairs: a chain a-b-c collapses to
+    one cluster even though (a,c) is not a pair; disjoint pairs stay
+    separate; docs in no pair become singletons."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)],  # chain 1-2-3; star 7-9-8
+        "id_a long, id_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 8, 9)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, docs=docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 9: 7}
+
+    # long chain exercises multi-round convergence (diameter 6)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()
+    }
+    assert got == {i: 10 for i in range(10, 17)}
+
+
+def test_ivf_ann_recall_and_determinism(spark, emb):
+    """IVF-flat: recall vs brute force at n_probe=4/16 cells; overlapping
+    scores exact; repeated runs identical (deterministic quantizer)."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(q, emb, k=5)
+    approx = ivf_topk(q, emb, k=5, n_cells=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    es = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in es:
+            assert abs(r["cos_sim"] - es[key]) < 1e-9
+    again = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+        q, emb, k=5, n_cells=16, n_probe=4
+    ).collect()}
+    assert again == a
