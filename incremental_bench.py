@@ -1,0 +1,109 @@
+"""Incremental snapshot-commit I/O evidence (round-3 north-rule item).
+
+Runs the REAL frontier loop (SnapshotStore + run_iteration) over synthetic
+seeds and reports, per iteration: scheduled batch rows, urlseen delta rows,
+bytes written to the snapshot store, cumulative seen-set size, and wall
+time. The point on file: write volume tracks the BATCH (O(batch)), not the
+seen set (O(state)) — the round-2 design rewrote urlseen+frontier fully
+every iteration, so its per-iteration bytes grew with the seen set.
+
+Usage: python incremental_bench.py  [env: INC_SEEDS (default 500k),
+INC_ITERS (default 6), INC_CPUS (default 8)]
+Prints one JSON line per iteration + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SEEDS = int(os.environ.get("INC_SEEDS", "500000"))
+ITERS = int(os.environ.get("INC_ITERS", "6"))
+CPUS = int(os.environ.get("INC_CPUS", "8"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+    from commoncrawl_fetcher_lite_spark.frontier.scheduler import (
+        bootstrap,
+        run_iteration,
+    )
+    from commoncrawl_fetcher_lite_spark.session import get_spark
+
+    spark = get_spark("incremental-bench", cores=CPUS, shuffle_partitions=CPUS)
+    root = tempfile.mkdtemp(prefix="inc_bench_")
+    try:
+        seeds = spark.range(N_SEEDS).select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("id") % 2000).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("host"),
+                (F.col("id") % 2000).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("priority"),
+            F.lit(None).cast("timestamp").alias("discovered_ts"),
+            F.lit(0.0).alias("recrawl_score"),
+        )
+        # ~40 URLs/host/iteration x 2000 hosts ≈ 80k scheduled per batch
+        cfg = FrontierConfig(
+            n_salt=8,
+            default_tokens_per_sec=4.0,
+            default_burst=0,
+            default_max_per_batch=40,
+        )
+        store = SnapshotStore(root, spark, compact_every=8)
+        bootstrap(store, seeds)
+        rows = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            res = run_iteration(store, cfg, batch_seconds=10.0)
+            dt = time.perf_counter() - t0
+            meta = store.manifest()["snapshots"][str(res.snapshot)]
+            row = {
+                "snapshot": res.snapshot,
+                "scheduled": res.n_scheduled,
+                "urlseen_delta_rows": meta["tables"]["urlseen"].get(
+                    "delta_rows", meta["tables"]["urlseen"]["rows"]
+                ),
+                "seen_total": res.n_seen_total,
+                "bytes_written": meta["metrics"]["bytes_written"],
+                "sec": round(dt, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            if res.n_scheduled == 0:
+                break
+        grow = rows[-1]["seen_total"] / max(rows[0]["seen_total"], 1)
+        io_grow = rows[-1]["bytes_written"] / max(rows[0]["bytes_written"], 1)
+        print(
+            json.dumps(
+                {
+                    "summary": "bytes_written tracks batch, not seen set",
+                    "seen_growth_x": round(grow, 2),
+                    "bytes_growth_x": round(io_grow, 2),
+                    "iters": len(rows),
+                    "n_seeds": N_SEEDS,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
