@@ -114,8 +114,19 @@ def run_fetch(
                 url_base=base,
             )
 
+    # T3 concurrency cap (ExtractorConfig.java:50 numThreads, default 2;
+    # README.md:169-172 operational guidance ~3 http / ~50 s3): the engine
+    # analog is the fetch STAGE's task count — repartition (not coalesce:
+    # the shuffle barrier keeps the upstream scan/parse at full width)
+    # gives exactly numThreads concurrent transport connections. Per-host
+    # rate control is the politeness quota; this cap reproduces the
+    # reference's origin-wide courtesy.
+    fetch_input = would_extract
+    if cfg.num_threads and cfg.num_threads > 0:
+        fetch_input = would_extract.repartition(cfg.num_threads)
+
     fetched = extract_payloads(
-        would_extract,
+        fetch_input,
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
         emit_dir=cfg.emit.base_path or None,

@@ -124,3 +124,28 @@ def test_crawl_delay_caps_quota(spark):
     assert q["fast.com"] == 100  # min(100, 0 + 5*60)
     assert q["slow.com"] == 6  # crawl_delay 10s → 0.1 tok/s → 6 per 60s
     assert default_q == 70  # 10 + 1*60
+
+
+def test_fetch_stage_concurrency_cap(spark, fixture_t1):
+    """T3: numThreads caps the fetch STAGE's task count (the engine analog
+    of the reference's worker-thread cap, ExtractorConfig.java:50) without
+    narrowing the upstream scan/parse — the repartition barrier means at
+    most numThreads concurrent transport connections."""
+    from pyspark.sql import functions as F
+
+    fx = fixture_t1
+    for n in (2, 3):
+        cfg = ExtractorConfig(
+            index_paths=(fx.paths_gz,),
+            selector=SELECTOR,
+            num_threads=n,
+        )
+        res = run_fetch(
+            spark, cfg, path_resolver=lambda f: warc_local_path(fx.root, f)
+        )
+        parts = (
+            res.extracted.select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert parts <= n, f"fetch ran in {parts} tasks with numThreads={n}"
