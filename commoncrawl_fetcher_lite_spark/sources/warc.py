@@ -197,11 +197,19 @@ def extract_payloads(
         raise ValueError("need path_resolver or fetcher_factory")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from commoncrawl_fetcher_lite_spark.functions.progress import (
+            ProgressTicker,
+        )
+
         fetcher = fetcher_factory() if fetcher_factory is not None else None
         err_types = _read_error_types()
+        # A5 (CCFileExtractorRecordProcessor.java:44-54): per-task progress
+        # heartbeat every 100k records, via the executor's Python logger
+        ticker = ProgressTicker("extract_payloads")
         for pdf in batches:
             if pdf.empty:
                 continue
+            ticker.add(len(pdf))
             pdf = pdf.sort_values(["filename", "offset"])
             out_rows = []
             handle_path = None

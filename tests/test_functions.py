@@ -150,3 +150,28 @@ def test_sample_gate_py_matches_spark_gate(spark):
     }
     for v in vals:
         assert got[v] == sample_gate_py(v, 0.37, "c1", seed=7), v
+
+
+def test_progress_ticker_crossings(caplog):
+    """A5: one log line per 100k crossing, even when a batch jumps several
+    boundaries; no line before the first crossing."""
+    import logging
+
+    from commoncrawl_fetcher_lite_spark.functions.progress import (
+        ProgressTicker,
+        logger,
+    )
+
+    t = ProgressTicker("x", every=100)
+    with caplog.at_level(logging.INFO, logger=logger.name):
+        t.add(99)
+        assert not caplog.records
+        t.add(1)  # crosses 100
+        t.add(250)  # crosses 200 and 300
+        t.add(0)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert msgs == [
+        "x: processed 100 records",
+        "x: processed 200 records",
+        "x: processed 300 records",
+    ]
