@@ -700,12 +700,13 @@ def oracle_sql() -> dict[str, str]:
                                              CAST(embedding AS DOUBLE[]))) AS n
                 FROM embeddings),
             c AS (SELECT vec_id AS cid, v AS cv, n AS cn
-                  FROM emb WHERE vec_id < 16),
+                  FROM emb ORDER BY vec_id LIMIT 16),
             assign AS (
                 SELECT e.vec_id, c.cid,
                        ROW_NUMBER() OVER (
                            PARTITION BY e.vec_id
-                           ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn)
+                           ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                          / (e.n * c.cn), 6)
                                     DESC, c.cid ASC) AS rnk
                 FROM emb e CROSS JOIN c),
             cells AS (SELECT vec_id, cid FROM assign WHERE rnk = 1),

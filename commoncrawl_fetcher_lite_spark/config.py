@@ -126,7 +126,13 @@ class ExtractorConfig:
     # 'indexFetcher' (ExtractorConfig.java:164-169): separate transport for
     # index files; defaults to the HTTP fetcher like the reference
     index_fetch: FetchConfig = None  # type: ignore[assignment]
-    num_threads: int = 2
+    # numThreads (ExtractorConfig.java:50, reference default 2): the engine
+    # analog is the fetch STAGE's task count. 0 = engine-managed (no cap) —
+    # a DELIBERATE divergence from the reference's default: its "2" sizes a
+    # single box's worker pool, and porting that as a default would
+    # silently throttle a 1000-executor fetch stage to 2 tasks. The cap
+    # applies only when the config names numThreads explicitly.
+    num_threads: int = 0
     selector: dict[str, Any] | None = None
     max_records: int = LONG_MAX
     max_files_extracted: int = LONG_MAX
@@ -186,7 +192,7 @@ def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
         index_base_path=indices.get("basePath", ""),
         index_profile=indices.get("profile", ""),
         index_fetch=FetchConfig.from_dict(cfg.get("indexFetcher")),
-        num_threads=int(cfg.get("numThreads", 2)),
+        num_threads=int(cfg.get("numThreads", 0)),  # absent = engine-managed
         selector=cfg.get("recordSelector"),
         max_records=int(cfg.get("maxRecords", LONG_MAX)),
         max_files_extracted=int(cfg.get("maxFilesExtracted", LONG_MAX)),

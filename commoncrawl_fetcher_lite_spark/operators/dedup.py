@@ -505,6 +505,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels, F.col("dst") == F.col("node"))
@@ -526,6 +527,14 @@ def dedup_clusters(
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # partially-propagated labels are WRONG cluster ids, not an
+        # approximation — fail loudly rather than return them (a component
+        # whose diameter exceeds max_iter; raise max_iter or pre-bucket)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
 
     out = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -166,6 +166,75 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_cells: int,
+    sample_n: int = 4096,
+    n_iter: int = 8,
+    seed: int = 42,
+):
+    """Deterministic seeded spherical k-means over a bounded sample.
+
+    Sample = the sample_n lowest-id corpus vectors (a pure function of the
+    data — no unseeded randomness anywhere). Init = seeded k-means++-style
+    draws from a fixed numpy Generator; Lloyd runs a FIXED n_iter rounds
+    (no data-dependent stopping, so reruns are bit-identical). Assignment
+    ties break to the lowest centroid index (np.argmax first-max). An
+    emptied cell is reseeded to the lowest-index point farthest from its
+    assigned centroid. Returns a (n_cells, dim) float64 matrix of
+    unit-normalized centroids.
+
+    Driver cost is O(sample_n · dim · n_iter) numpy — milliseconds; the
+    cluster never sees the sample. At 100 TB the sample stays sample_n
+    rows (orderBy(id).limit pushes a TakeOrdered, not a full sort)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_topk: corpus is empty — no centroids")
+    X = np.array([list(r[corpus_vec]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
+    n = len(Xn)
+    k = min(n_cells, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - sim), deterministic rng
+    first = int(rng.integers(n))
+    idx = [first]
+    d2 = 1.0 - Xn @ Xn[first]
+    for _ in range(1, k):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        if tot <= 0:
+            nxt = int(np.argmin(np.isin(np.arange(n), idx)))
+        else:
+            nxt = int(rng.choice(n, p=p / tot))
+        idx.append(nxt)
+        d2 = np.minimum(d2, 1.0 - Xn @ Xn[nxt])
+    C = Xn[idx].copy()
+    for _ in range(n_iter):
+        S = Xn @ C.T
+        assign = np.argmax(np.round(S, 6), axis=1)  # ties -> lowest cell
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                # reseed: lowest-index point farthest from its centroid
+                far = 1.0 - S[np.arange(n), assign]
+                C[c] = Xn[int(np.argmax(far))]
+                continue
+            m = members.sum(axis=0)
+            nrm = np.sqrt((m * m).sum())
+            if nrm > 1e-12:
+                C[c] = m / nrm
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -176,22 +245,34 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "qv",
     corpus_vec: str = "v",
+    quantizer: str = "lowid",
+    kmeans_sample_n: int = 4096,
+    kmeans_seed: int = 42,
 ) -> DataFrame:
     """IVF-flat ANN (the cell-partitioned scale path): corpus vectors are
     assigned to their nearest coarse centroid, queries probe the n_probe
     nearest cells, exact cosine re-rank inside the probed cells.
 
-    The coarse quantizer is DETERMINISTIC: the n_cells lowest-id corpus
-    vectors serve as centroids (swap in k-means centroids on a real
-    cluster — the assignment/probe/re-rank plumbing is identical). That
-    makes the whole index a pure function of the data, so the DuckDB
-    oracle reproduces it exactly.
+    Two DETERMINISTIC coarse quantizers:
+      * "lowid" — the n_cells lowest-id corpus vectors are the centroids.
+        SQL-expressible, so the DuckDB oracle reproduces the whole index
+        exactly; cells skew when the data clusters (documented trade).
+      * "kmeans" — seeded spherical k-means over a bounded lowest-id
+        sample (_kmeans_centroids): balanced cells on clustered data,
+        still a pure function of (data, seed) so reruns agree; the oracle
+        can't express Lloyd iterations, so pytest (recall/balance/
+        determinism) is its correctness signal.
 
     Scale shape: the centroid matrix is tiny (n_cells x dim) and rides
     into an Arrow-batched pandas UDF as a numpy constant — one matmul per
     batch assigns cells, no per-row Python. Candidate generation is an
     equi-join on the int cell id (candidates per query ~ n_probe/n_cells
-    of the corpus), and the re-rank is Catalyst zip_with/aggregate."""
+    of the corpus), and the re-rank is Catalyst zip_with/aggregate.
+
+    Cell similarities are rounded to 6 decimals BEFORE argmax/argsort on
+    both the engine and oracle sides — BLAS matmul may reorder/FMA the
+    sum, and an unrounded last-ulp near-tie could flip a cell assignment
+    between the two engines."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -199,23 +280,37 @@ def ivf_topk(
 
     from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
 
-    cent_rows = (
-        corpus.where(F.col(corpus_id) < n_cells)
-        .select(corpus_id, corpus_vec)
-        .collect()
-    )  # n_cells rows — tiny, deliberate driver constant
-    cent_rows.sort(key=lambda r: r[corpus_id])
-    C = np.array([list(r[corpus_vec]) for r in cent_rows], dtype=np.float64)
-    cids = np.array([r[corpus_id] for r in cent_rows], dtype=np.int64)
-    cn = np.sqrt((C * C).sum(axis=1))
+    if quantizer == "kmeans":
+        C = _kmeans_centroids(
+            corpus, corpus_id, corpus_vec, n_cells,
+            sample_n=kmeans_sample_n, seed=kmeans_seed,
+        )
+        cids = np.arange(len(C), dtype=np.int64)
+    elif quantizer == "lowid":
+        # the n_cells LOWEST-ID vectors — not `id < n_cells`, which yields
+        # an empty/undersized matrix when ids don't start near 0
+        cent_rows = (
+            corpus.select(corpus_id, corpus_vec)
+            .orderBy(corpus_id)
+            .limit(n_cells)
+            .collect()
+        )  # n_cells rows — tiny, deliberate driver constant
+        if not cent_rows:
+            raise ValueError("ivf_topk: corpus is empty — no centroids")
+        C = np.array([list(r[corpus_vec]) for r in cent_rows], dtype=np.float64)
+        cids = np.array([r[corpus_id] for r in cent_rows], dtype=np.int64)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
 
     def _cell_sims(vecs: pd.Series) -> np.ndarray:
         V = np.stack(vecs.to_numpy()).astype(np.float64)
         # dot first, then divide by the norm product — matches the oracle's
-        # list_dot_product(v,c)/(|v|*|c|) op order bit-for-bit
+        # list_dot_product(v,c)/(|v|*|c|) op order; the 6-dp round absorbs
+        # BLAS summation-order ulps before any tie-sensitive argmax/argsort
         S = V @ C.T
         vn = np.sqrt((V * V).sum(axis=1))
-        return S / np.outer(vn, cn)
+        return np.round(S / np.outer(vn, cn), 6)
 
     @pandas_udf(T.LongType())
     def assign_cell(vecs):

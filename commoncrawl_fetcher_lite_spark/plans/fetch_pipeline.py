@@ -114,21 +114,19 @@ def run_fetch(
                 url_base=base,
             )
 
-    # T3 concurrency cap (ExtractorConfig.java:50 numThreads, default 2;
-    # README.md:169-172 operational guidance ~3 http / ~50 s3): the engine
-    # analog is the fetch STAGE's task count — repartition (not coalesce:
-    # the shuffle barrier keeps the upstream scan/parse at full width)
-    # gives exactly numThreads concurrent transport connections. Per-host
-    # rate control is the politeness quota; this cap reproduces the
-    # reference's origin-wide courtesy.
-    fetch_input = would_extract
-    if cfg.num_threads and cfg.num_threads > 0:
-        fetch_input = would_extract.repartition(cfg.num_threads)
-
+    # T3 concurrency cap (ExtractorConfig.java:50 numThreads; README.md:
+    # 169-172 operational guidance ~3 http / ~50 s3): the engine analog is
+    # the fetch STAGE's task count. Applied ONLY when the config names
+    # numThreads (num_threads > 0) — see config.py. The cap is passed into
+    # extract_payloads so its filename-hash repartition does both jobs at
+    # once: bound the task count AND keep each WARC's records in one task
+    # (the per-task handle cache). The shuffle barrier keeps the upstream
+    # scan/parse at full width.
     fetched = extract_payloads(
-        fetch_input,
+        would_extract,
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
+        num_partitions=cfg.num_threads if cfg.num_threads > 0 else None,
         emit_dir=cfg.emit.base_path or None,
         fetcher_factory=fetcher_factory,
     )

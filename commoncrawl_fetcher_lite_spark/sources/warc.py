@@ -148,6 +148,7 @@ def extract_payloads(
     path_resolver: Callable[[str], str] | None = None,
     target_path_pattern: str = "xx/xx/xxx",
     coalesce_by_file: bool = True,
+    num_partitions: int | None = None,
     emit_dir: str | None = None,
     emitter: Callable[[str, bytes], None] | None = None,
     fetcher_factory: Callable[[], object] | None = None,
@@ -184,8 +185,17 @@ def extract_payloads(
     ]
     df = records.select(*cols)
     if coalesce_by_file:
-        # co-locate reads of the same compound WARC (ranged-read coalescing)
-        df = df.repartition(F.col("filename"))
+        # co-locate reads of the same compound WARC (ranged-read coalescing).
+        # num_partitions (T3 numThreads cap) bounds the stage's task count
+        # while STILL hashing on filename — a round-robin cap would scatter
+        # one file's records across tasks and defeat the per-task handle
+        # cache (reopen per Arrow batch)
+        if num_partitions is not None and num_partitions > 0:
+            df = df.repartition(num_partitions, F.col("filename"))
+        else:
+            df = df.repartition(F.col("filename"))
+    elif num_partitions is not None and num_partitions > 0:
+        df = df.repartition(num_partitions)
 
     pattern = target_path_pattern
     if emitter is None and emit_dir is not None:

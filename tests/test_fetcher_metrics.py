@@ -149,3 +149,36 @@ def test_fetch_stage_concurrency_cap(spark, fixture_t1):
             .count()
         )
         assert parts <= n, f"fetch ran in {parts} tasks with numThreads={n}"
+
+
+def test_numthreads_cap_only_when_explicit(spark, fixture_t1):
+    """ADVICE r3: absent numThreads must NOT throttle the fetch stage to
+    the reference's single-box default of 2; and when the cap IS set, same-
+    file records stay in one task (filename-hash repartition, preserving
+    the per-task WARC handle cache)."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.config import from_json_dict
+
+    assert from_json_dict({"indices": {"paths": []}}).num_threads == 0
+    assert (
+        from_json_dict({"indices": {"paths": []}, "numThreads": 3}).num_threads
+        == 3
+    )
+
+    fx = fixture_t1
+    cfg = ExtractorConfig(
+        index_paths=(fx.paths_gz,), selector=SELECTOR, num_threads=2
+    )
+    res = run_fetch(spark, cfg, path_resolver=lambda f: warc_local_path(fx.root, f))
+    per_file = (
+        res.extracted.select("warc_file", F.spark_partition_id().alias("p"))
+        .groupBy("warc_file")
+        .agg(F.countDistinct("p").alias("nparts"))
+        .collect()
+    )
+    assert per_file, "no extracted rows"
+    for r in per_file:
+        assert r["nparts"] == 1, (
+            f"{r['warc_file']} split across {r['nparts']} tasks under the cap"
+        )
