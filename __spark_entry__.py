@@ -482,6 +482,34 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_robots(seeds, robots, broadcast=True).select("url")
 
 
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 `*`/`$` wildcard rules end-to-end: even-index hosts carry
+    `Disallow: /e/*9$` (7 pattern octets — outranks the 5-octet
+    `Allow: /e/13`, so /e/139 is blocked while plain /e/13 stays allowed)
+    next to the prefix rules. The oracle recomputes longest-match
+    precedence in SQL with regexp_matches, checking the parser's
+    regex translation + the fused single-pass fold, not mirroring them."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    seeds = _seeds_view(spark, sf_dir)
+    hosts = seeds.select("host").distinct()
+    body_even = (
+        "User-agent: *\nDisallow: /e/*9$\nDisallow: /e/1\nAllow: /e/13"
+    )
+    bodies = hosts.select(
+        "host",
+        F.when(
+            F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 2 == 0,
+            F.lit(body_even),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+        .alias("robots_txt"),
+    )
+    robots = robots_frame(bodies, agent="ccbot")
+    return apply_robots(seeds, robots, broadcast=True).select("url")
+
+
 def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-Bloom URL-seen gate (10^10 scale path): per-block bitmaps
     built distributedly, cogrouped probe, exact anti-join only on filter
@@ -624,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "lang_breakdown": q_lang_breakdown,
         "robots_filter": q_robots_filter,
+        "robots_wildcards": q_robots_wildcards,
         "urlseen_blocked": q_urlseen_blocked,
         "media_classify": q_media_classify,
         "recrawl_priority": q_recrawl_priority,
@@ -1034,6 +1063,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT url FROM seeds
             WHERE NOT (hk % 2 = 0 AND starts_with(path, '/e/1')
                        AND NOT starts_with(path, '/e/13'))
+        """,
+        "robots_wildcards": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+                       user_id % 20 AS hk,
+                       '/e/' || CAST(event_id AS VARCHAR) AS path
+                FROM events),
+            m AS (
+                SELECT url, hk,
+                       CASE WHEN starts_with(path, '/e/1') THEN 4 ELSE 0 END AS d1,
+                       CASE WHEN regexp_matches(path, '^/e/.*9$') THEN 7
+                            ELSE 0 END AS d2,
+                       CASE WHEN starts_with(path, '/e/13') THEN 5 ELSE 0 END AS a1
+                FROM seeds)
+            SELECT url FROM m
+            WHERE NOT (hk % 2 = 0 AND greatest(d1, d2) > a1)
         """,
         "urlseen_blocked": """
             WITH seeds AS (

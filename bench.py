@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "lang_breakdown",
     "robots_filter",
+    "robots_wildcards",
     "urlseen_blocked",
     "media_classify",
     "recrawl_priority",

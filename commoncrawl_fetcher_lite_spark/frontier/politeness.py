@@ -53,44 +53,94 @@ def apply_robots(
     candidates: DataFrame, robots: DataFrame, broadcast: bool | None = None
 ) -> DataFrame:
     """Drop candidates blocked by their host's robots rules, RFC 9309
-    longest-match: among matching Disallow/Allow prefixes the longest wins,
-    ties go to Allow (so `Allow: /public` under `Disallow: /` admits
-    /public/*). robots: (host, disallow_prefixes, [allow_prefixes],
-    crawl_delay_s) — a frame without allow_prefixes (prefix-blocking only)
-    still works.
+    longest-match with full `*`/`$` wildcard support: among matching rules
+    the one with the most PATTERN octets wins, ties go to Allow (so
+    `Allow: /public` under `Disallow: /` admits /public/*).
+
+    Accepts either a robots_frame output — which carries precompiled
+    `plain_rules` (prefix) + `wild_rules` (anchored regex) struct arrays —
+    or a legacy (host, disallow_prefixes, [allow_prefixes]) frame, whose
+    prefix arrays are lifted into the same rule structs on the fly.
+
+    Hot-path shape (VERDICT r3 #3: the old form traversed the prefix
+    arrays once per DIRECTION): ONE fused aggregate folds every plain rule
+    into a best-(len, allow) struct, and a second aggregate — seeded with
+    that result — folds the wild rules, which are EMPTY for most hosts, so
+    the regex engine never runs for them. Blocked ⇔ best.len > 0 ∧
+    ¬best.allow. The path is let-bound (functions/letbind) so the URL
+    regexp_replace runs once per row, not once per rule.
 
     Size-gated join — robots is one row per host, which is small at test
     scale but ~10^7 rows at CC scale (robots.py:20-22): broadcast only when
-    stats prove it under the session threshold, else shuffle join on host.
-    The path is let-bound (functions/letbind) so the regexp runs once per
-    row — a plain withColumn would be projection-collapsed back into every
-    HOF element evaluation."""
+    stats prove it under the session threshold, else shuffle join on host."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     joined = candidates.join(_gate(robots, broadcast), "host", "left")
 
-    def blocked_for(path: Column) -> Column:
-        def max_match(col_name: str) -> Column:
-            prefixes = (
-                F.coalesce(F.col(col_name), F.array())
-                if col_name in joined.columns
-                else F.array()
-            )
-            return F.aggregate(
-                F.filter(prefixes, lambda p: path.startswith(p)),
-                F.lit(0),
-                lambda acc, p: F.greatest(acc, F.length(p)),
+    plain_t = "array<struct<p:string,len:int,allow:boolean>>"
+    wild_t = "array<struct<rx:string,len:int,allow:boolean>>"
+    if "plain_rules" in joined.columns:
+        plain = F.coalesce(F.col("plain_rules"), F.array().cast(plain_t))
+    else:
+        def lift(col_name: str, allow: bool) -> Column:
+            if col_name not in joined.columns:
+                return F.array().cast(plain_t)
+            arr = F.coalesce(F.col(col_name), F.array())
+            return F.transform(
+                arr,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.octet_length(p).alias("len"),
+                    F.lit(allow).alias("allow"),
+                ),
             )
 
-        return max_match("disallow_prefixes") > max_match("allow_prefixes")
+        plain = F.concat(
+            lift("disallow_prefixes", False), lift("allow_prefixes", True)
+        )
+    wild = (
+        F.coalesce(F.col("wild_rules"), F.array().cast(wild_t))
+        if "wild_rules" in joined.columns
+        else None
+    )
+
+    init = F.struct(F.lit(0).alias("len"), F.lit(True).alias("allow"))
+
+    def step(acc: Column, rule: Column, matched: Column) -> Column:
+        better = (rule["len"] > acc["len"]) | (
+            (rule["len"] == acc["len"]) & rule["allow"]
+        )
+        return F.when(
+            matched & better,
+            F.struct(rule["len"].alias("len"), rule["allow"].alias("allow")),
+        ).otherwise(acc)
+
+    def blocked_for(path: Column) -> Column:
+        best = F.aggregate(
+            plain, init, lambda acc, r: step(acc, r, path.startswith(r["p"]))
+        )
+        if wild is not None:
+            best = F.aggregate(
+                wild,
+                best,
+                lambda acc, r: step(acc, r, F.regexp_like(path, r["rx"])),
+            )
+        return (best["len"] > 0) & ~best["allow"]
 
     blocked = let(
         F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
         blocked_for,
     )
-    drop = ["disallow_prefixes"] + (
-        ["allow_prefixes"] if "allow_prefixes" in joined.columns else []
-    )
+    drop = [
+        c
+        for c in (
+            "disallow_prefixes",
+            "allow_prefixes",
+            "plain_rules",
+            "wild_rules",
+        )
+        if c in joined.columns
+    ]
     return joined.where(~blocked).drop(*drop)
 
 

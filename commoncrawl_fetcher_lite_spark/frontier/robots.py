@@ -11,11 +11,16 @@ follow the public Robots Exclusion Protocol (RFC 9309):
   * `Disallow:` / `Allow:` values collect as path prefixes; an empty value
     means allow-everything (contributes no prefix).
   * precedence is RFC 9309 longest-match: the matching rule with the most
-    octets wins, ties go to Allow — so `Allow: /public` under
-    `Disallow: /` admits /public/* while blocking the rest
-    (politeness.apply_robots implements the comparison as two HOF
-    max-match-length aggregates). `*`/`$` wildcards are not modeled
-    (prefix semantics only — the common-case subset).
+    PATTERN octets wins, ties go to Allow — so `Allow: /public` under
+    `Disallow: /` admits /public/* while blocking the rest.
+  * `*` (any char sequence) and trailing `$` (end anchor) wildcards are
+    fully modeled: robots_frame pre-translates each wildcard rule to an
+    anchored regex ONCE per host (off the hot path) and emits two
+    precompiled rule arrays — `plain_rules` (prefix match, the common
+    case) and `wild_rules` (regex match) — that
+    politeness.apply_robots folds in a SINGLE fused aggregate per
+    candidate (one traversal, not one per direction; a mid-pattern `$`
+    is literal, matching the de-facto Google semantics).
   * `Crawl-delay:` parses as seconds (non-standard but ubiquitous; fed to
     host_quota's token-rate cap, politeness.py:69-76).
 
@@ -94,12 +99,66 @@ def parse_robots_txt(
     return best[1], best[2], best[3]
 
 
+def rule_to_regex(pattern: str) -> str:
+    """RFC 9309 rule pattern → anchored Java/RE2-compatible regex.
+    `*` matches any char sequence; a TRAILING `$` anchors the end (a
+    mid-pattern `$` is a literal octet, per the de-facto Google parser).
+    Everything else is escaped literally."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [_re.escape(ch) if ch != "*" else ".*" for ch in body]
+    return "^" + "".join(parts) + ("$" if anchored else "")
+
+
+def split_rules(
+    disallows: list[str], allows: list[str]
+) -> tuple[list[tuple], list[tuple]]:
+    """Rules → (plain, wild) precompiled tuples.
+
+    plain = (prefix, octets, is_allow) matched by startswith;
+    wild  = (regex, octets, is_allow) matched by regexp.
+    `octets` is the RAW pattern's octet length (RFC 9309 precedence counts
+    pattern octets, wildcards included). A rule whose only wildcard is a
+    TRAILING run of `*` is still a plain prefix (match-equivalent), so the
+    regex path stays reserved for genuinely wild rules."""
+    plain: list[tuple] = []
+    wild: list[tuple] = []
+    for is_allow, rules in ((False, disallows), (True, allows)):
+        for r in rules:
+            octets = len(r.encode("utf-8"))
+            stripped = r.rstrip("*")
+            if "*" not in stripped and not stripped.endswith("$"):
+                plain.append((stripped, octets, is_allow))
+            else:
+                wild.append((rule_to_regex(r), octets, is_allow))
+    return plain, wild
+
+
+_RULE_FIELDS_PLAIN = T.StructType(
+    [
+        T.StructField("p", T.StringType()),
+        T.StructField("len", T.IntegerType()),
+        T.StructField("allow", T.BooleanType()),
+    ]
+)
+_RULE_FIELDS_WILD = T.StructType(
+    [
+        T.StructField("rx", T.StringType()),
+        T.StructField("len", T.IntegerType()),
+        T.StructField("allow", T.BooleanType()),
+    ]
+)
+
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
         T.StructField("allow_prefixes", T.ArrayType(T.StringType())),
         T.StructField("crawl_delay_s", T.DoubleType()),
+        T.StructField("plain_rules", T.ArrayType(_RULE_FIELDS_PLAIN)),
+        T.StructField("wild_rules", T.ArrayType(_RULE_FIELDS_WILD)),
     ]
 )
 
@@ -120,12 +179,21 @@ def robots_frame(
             rows = []
             for host, body in zip(pdf["host"], pdf["body"]):
                 prefixes, allows, delay = parse_robots_txt(body, agent)
+                plain_t, wild_t = split_rules(prefixes, allows)
+                plain = [
+                    {"p": p, "len": ln, "allow": al} for p, ln, al in plain_t
+                ]
+                wild = [
+                    {"rx": rx, "len": ln, "allow": al} for rx, ln, al in wild_t
+                ]
                 rows.append(
                     {
                         "host": host,
                         "disallow_prefixes": prefixes,
                         "allow_prefixes": allows,
                         "crawl_delay_s": delay,
+                        "plain_rules": plain,
+                        "wild_rules": wild,
                     }
                 )
             yield pd.DataFrame(rows)
