@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32")))
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+# REPS=5 + median reporting (VERDICT r3 finding #1): min-of-3 could not
+# distinguish this box's temporal tenant noise (2-10x swings on identical
+# code) from a real regression; the median over 5 is the comparison
+# number, the min approximates the uncontended floor.
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 BENCH_QUERIES = [
     "mime_count",
@@ -54,6 +58,7 @@ BENCH_QUERIES = [
     "lang_id",
     "bpe_token_count",
     "frontier_schedule",
+    "frontier_schedule_compact",
 ]
 
 
@@ -115,6 +120,54 @@ def frontier_schedule_query(spark, sf_dir):
     )
 
 
+def frontier_schedule_compact_query(spark, sf_dir):
+    """The same flagship through the shuffle-byte diet (frontier/diet.py):
+    anti-join + windows on the 24 B (url_hash, host_id, _prio) frame, url/
+    host payload re-joined once after the final top-k (AQE broadcasts the
+    quota-bounded batch). Same inputs as frontier_schedule; the delta is
+    shuffle bytes."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.frontier.diet import (
+        schedule_frontier_compact,
+    )
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import with_url_hash
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fanned = ev.select(
+        "event_id", "user_id", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(FRONTIER_FANOUT - 1))).alias("rep"),
+    )
+    seeds = fanned.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+            F.lit("/r/"),
+            F.col("rep").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.col("value").alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+        "event_id",
+    )
+    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    return schedule_frontier_compact(
+        seeds, seen, host_quotas=None, default_quota=200, n_salt=8
+    )
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     from commoncrawl_fetcher_lite_spark.session import get_spark
 
@@ -123,27 +176,31 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     qs = entrymod.queries()
     qs["frontier_schedule"] = frontier_schedule_query
+    qs["frontier_schedule_compact"] = frontier_schedule_compact_query
 
     # warm the JVM + parquet footers once
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    # min-of-reps: this box shares hardware with other tenants (loadavg
-    # swings 0→30 with no local processes); a single timing is contention
-    # noise, the minimum approaches the uncontended cost.
+    # min + median over REPS: the min approximates the uncontended floor;
+    # the MEDIAN is the round-over-round comparison number (this box's
+    # tenant noise swings identical code 2-10x, so min-of-few could not
+    # separate noise from regression — VERDICT r3 finding #1).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = None
+        samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        medians[name] = round(_median(samples), 4)
     total = round(sum(timings.values()), 4)
+    total_median = round(sum(medians.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
     # throughput: URLs through the frontier (hash + seen anti-join + salted
@@ -151,6 +208,7 @@ def main() -> None:
     ev_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     n_urls = ev_rows * FRONTIER_FANOUT
     sched_per_sec = round(n_urls / timings["frontier_schedule"], 1)
+    diet_per_sec = round(n_urls / timings["frontier_schedule_compact"], 1)
 
     print(
         json.dumps(
@@ -159,12 +217,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_median": total_median,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 "reps": REPS,
                 "wall_sec": wall,
                 "frontier_urls": n_urls,
                 "frontier_urls_per_sec": sched_per_sec,
+                "frontier_diet_urls_per_sec": diet_per_sec,
             }
         )
     )

@@ -73,6 +73,7 @@ def main() -> None:
             res = run_iteration(store, cfg, batch_seconds=10.0)
             dt = time.perf_counter() - t0
             meta = store.manifest()["snapshots"][str(res.snapshot)]
+            fr = meta["tables"]["frontier"]
             row = {
                 "snapshot": res.snapshot,
                 "scheduled": res.n_scheduled,
@@ -81,6 +82,15 @@ def main() -> None:
                 ),
                 "seen_total": res.n_seen_total,
                 "bytes_written": meta["metrics"]["bytes_written"],
+                # read-side cost of the frontier's merge-on-read view: bytes
+                # a read() must scan and its ratio to the base segment —
+                # compaction (count OR byte trigger) bounds both
+                "frontier_resolve_bytes": fr.get(
+                    "resolve_bytes", fr.get("bytes", 0)
+                ),
+                "frontier_read_amplification": fr.get(
+                    "read_amplification", 1.0
+                ),
                 "sec": round(dt, 2),
             }
             rows.append(row)
