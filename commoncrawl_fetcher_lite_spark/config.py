@@ -147,6 +147,11 @@ class ExtractorConfig:
     # unseeded java.util.Random — AbstractSamplingSelector.java:40-55 —
     # and cannot reproduce its own runs; we fix that).
     sample_seed: int = 42
+    # T4 (CCFileExtractor.java:150-153): the reference's worker loop gives
+    # up after a 120-minute queue-poll timeout. Engine analog: a per-task
+    # fetch deadline — past it, remaining records surface as
+    # read_error='deadline_exceeded' rows instead of hanging the task.
+    fetch_deadline_seconds: float = 7200.0
 
 
 @dataclass(frozen=True)
@@ -160,6 +165,14 @@ class FrontierConfig:
     bloom_expected_items: int = 10_000_000  # per partition block
     bloom_fpp: float = 0.01
     checkpoint_root: str = ""
+    # opt-in shuffle-byte diet for the scheduling hot path (frontier/
+    # diet.py): anti-join + top-k windows on the 24 B skinny frame, late
+    # payload join. Identical batches under distinct priorities (tested);
+    # documented trade-offs: hash-only anti-join, host-hash windows,
+    # (prio, url_hash) tie-break, and token refill over PRE-seen-filter
+    # hosts (a benign host_state superset — an unscheduled refilled host
+    # converges to the same avail as a fresh one).
+    compact_shuffles: bool = False
 
 
 def _normalize_emit_dict(cfg: dict[str, Any]) -> dict[str, Any] | None:
@@ -204,4 +217,5 @@ def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
         fetch=fetch,
         emit=emit,
         sample_seed=int(cfg.get("sampleSeed", 42)),
+        fetch_deadline_seconds=float(cfg.get("fetchDeadlineSeconds", 7200.0)),
     )

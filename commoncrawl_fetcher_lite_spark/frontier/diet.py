@@ -126,5 +126,5 @@ def schedule_frontier_compact(
     # payload branch re-derives url_hash map-side (no exchange)
     payload = cand.select("url_hash", "url", "host")
     return payload.join(sched, "url_hash").select(
-        "url", "host", "host_rank", "effective_priority"
+        "url_hash", "url", "host", "host_rank", "effective_priority"
     )

@@ -88,7 +88,8 @@ def run_iteration(
     if robots is not None:
         candidates = apply_robots(candidates, robots)
 
-    candidates = filter_unseen(candidates, seen)
+    if not cfg.compact_shuffles:
+        candidates = filter_unseen(candidates, seen)
 
     # token-bucket politeness (north star: "priority = recrawl score +
     # host token-bucket state"): refill each candidate host's bucket from
@@ -97,6 +98,8 @@ def run_iteration(
     # batch sizes are debited and the new state commits with this
     # snapshot. A fresh host starts at tokens=burst, so iteration 1
     # reproduces the stateless quota min(max_per_batch, burst + rate*dt).
+    # (diet mode refills over PRE-seen-filter hosts — a benign superset:
+    # an unscheduled refilled host converges to a fresh host's avail.)
     prev_state = store.read("host_state") if store.exists("host_state") else None
     refilled = refill_tokens(
         prev_state,
@@ -113,9 +116,18 @@ def run_iteration(
     # materialize the scheduling plan ONCE: batch feeds the fetch, both
     # state updates, and the commit write — without this the anti-join +
     # double window re-executed 3-4x per iteration.
-    batch = schedule_batch(
-        candidates, quotas, default_quota=0, n_salt=cfg.n_salt
-    ).localCheckpoint(eager=True)
+    if cfg.compact_shuffles:
+        from commoncrawl_fetcher_lite_spark.frontier.diet import (
+            schedule_frontier_compact,
+        )
+
+        batch = schedule_frontier_compact(
+            candidates, seen, quotas, default_quota=0, n_salt=cfg.n_salt
+        ).localCheckpoint(eager=True)
+    else:
+        batch = schedule_batch(
+            candidates, quotas, default_quota=0, n_salt=cfg.n_salt
+        ).localCheckpoint(eager=True)
 
     # only hosts refilled this round get a new state row — untouched hosts'
     # rows carry via older upsert segments (their debt must not reset);

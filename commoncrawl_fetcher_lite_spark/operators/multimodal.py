@@ -40,6 +40,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -144,6 +146,12 @@ def extract_features(
                         "width": 16 + h[0] % 64 if kind == "image" else None,
                         "height": 16 + h[1] % 64 if kind == "image" else None,
                         "n_frames": 1 + h[2] % 30 if kind == "video" else None,
+                        "sample_rate": 8000 * (1 + h[3] % 6)
+                        if kind == "audio"
+                        else None,
+                        "duration_s": round(h[4] / 8.0, 3)
+                        if kind == "audio"
+                        else None,
                         "feature": feat,
                     }
                 )
@@ -162,12 +170,106 @@ def _load_pillow():
         return None
 
 
+def _parse_mp3_header(payload: bytes) -> tuple[int, float | None] | None:
+    """Pure-Python MP3 metadata (mutagen-style): skip an ID3v2 tag
+    (syncsafe size), find the first MPEG frame sync, decode sample rate +
+    (for MPEG1 Layer III constant-bitrate) an estimated duration. Returns
+    (sample_rate, duration_s|None), or None when no frame parses."""
+    off = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        off = 10 + (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+    sr_table = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+    br_v1l3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    i = off
+    while i + 4 <= len(payload):
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            b1, b2 = payload[i + 1], payload[i + 2]
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if version in sr_table and layer != 0 and sr_idx != 3 and br_idx not in (0, 15):
+                sr = sr_table[version][sr_idx]
+                dur = None
+                if version == 3 and layer == 1:  # MPEG1 Layer III CBR
+                    dur = (len(payload) - i) * 8.0 / (br_v1l3[br_idx] * 1000)
+                return sr, dur
+        i += 1
+    return None
+
+
+def _decode_wav(payload: bytes, feature_dim: int) -> tuple[int, float, list]:
+    """Genuine PCM WAV decode via the stdlib wave module: sample rate,
+    duration, and a feature of per-window RMS energies (mono-mixed,
+    peak-normalized to [-1, 1]) — a real, codec-free audio fingerprint."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        nframes = w.getnframes()
+        pcm = w.readframes(nframes)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    if nch > 1 and len(x):
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    peak = peak or 1.0
+    feat = []
+    for seg in np.array_split(x, feature_dim):
+        rms = float(np.sqrt((seg * seg).mean())) if len(seg) else 0.0
+        feat.append(round(rms / peak * 2 - 1, 6))
+    return sr, nframes / float(sr or 1), feat
+
+
 def _decode_real(mid: str, kind: str, payload: bytes, feature_dim: int) -> dict:
     """Real decode for the kinds we have a library for; NotImplementedError
     otherwise. Image path: Pillow open → (width, height) + a grayscale
     thumbnail flattened to `feature_dim` floats in [-1, 1] — the standard
     cheap visual fingerprint; swap in a real embedding model on clusters
-    that carry one."""
+    that carry one. Audio path is pure-Python: WAV decodes fully (stdlib
+    wave + numpy RMS windows); MP3/ID3 parses real header metadata
+    (sample rate, CBR duration) with feature=None — the mutagen contract;
+    other audio containers and all video still raise honestly."""
+    if kind == "audio":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            sr, dur, feat = _decode_wav(payload, feature_dim)
+            return {
+                "media_id": mid,
+                "kind": kind,
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "sample_rate": sr,
+                "duration_s": round(dur, 6),
+                "feature": feat,
+            }
+        mp3 = _parse_mp3_header(payload)
+        if mp3 is not None:
+            sr, dur = mp3
+            return {
+                "media_id": mid,
+                "kind": kind,
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "sample_rate": sr,
+                "duration_s": round(dur, 6) if dur is not None else None,
+                "feature": None,  # waveform decode needs codec libs
+            }
+        raise NotImplementedError(
+            "audio container not recognized — only WAV/MP3 headers decode "
+            "without codec libs"
+        )
     if kind == "image":
         Image = _load_pillow()
         if Image is None:
@@ -190,8 +292,10 @@ def _decode_real(mid: str, kind: str, payload: bytes, feature_dim: int) -> dict:
             "width": width,
             "height": height,
             "n_frames": None,
+            "sample_rate": None,
+            "duration_s": None,
             "feature": feat,
         }
     raise NotImplementedError(
-        f"real decode for kind={kind!r} needs av/torchaudio — not installed"
+        f"real decode for kind={kind!r} needs av/ffmpeg — not installed"
     )

@@ -127,6 +127,7 @@ def run_fetch(
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
         num_partitions=cfg.num_threads if cfg.num_threads > 0 else None,
+        task_deadline_seconds=cfg.fetch_deadline_seconds,
         emit_dir=cfg.emit.base_path or None,
         fetcher_factory=fetcher_factory,
     )

@@ -149,6 +149,7 @@ def extract_payloads(
     target_path_pattern: str = "xx/xx/xxx",
     coalesce_by_file: bool = True,
     num_partitions: int | None = None,
+    task_deadline_seconds: float | None = None,
     emit_dir: str | None = None,
     emitter: Callable[[str, bytes], None] | None = None,
     fetcher_factory: Callable[[], object] | None = None,
@@ -211,11 +212,20 @@ def extract_payloads(
             ProgressTicker,
         )
 
+        import time as _time
+
         fetcher = fetcher_factory() if fetcher_factory is not None else None
         err_types = _read_error_types()
         # A5 (CCFileExtractorRecordProcessor.java:44-54): per-task progress
         # heartbeat every 100k records, via the executor's Python logger
         ticker = ProgressTicker("extract_payloads")
+        # T4 (CCFileExtractor.java:150-153): the reference worker stops
+        # pulling from its queue after a poll timeout (120 min default).
+        # Engine analog = a per-task fetch deadline: once exceeded, the
+        # remaining records of this task are NOT fetched — each surfaces
+        # as a read_error row ("deadline_exceeded") so observe() counts
+        # the loss instead of the task hanging on a stalled transport.
+        t_start = _time.monotonic()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -225,6 +235,29 @@ def extract_payloads(
             handle_path = None
             handle = None
             for row in pdf.itertuples(index=False):
+                if (
+                    task_deadline_seconds is not None
+                    and _time.monotonic() - t_start >= task_deadline_seconds
+                ):
+                    out_rows.append(
+                        {
+                            "url": row.url,
+                            "mime": row.mime,
+                            "mime_detected": row.mime_detected,
+                            "warc_file": row.filename,
+                            "warc_offset": int(row.offset),
+                            "warc_length": int(row.length),
+                            "truncated": row.truncated,
+                            "sha256": None,
+                            "length": None,
+                            "path": None,
+                            "digest_ok": False,
+                            "empty_payload": False,
+                            "read_error": "deadline_exceeded",
+                            "spans": None,
+                        }
+                    )
+                    continue
                 try:
                     if fetcher is not None:
                         raw = fetcher.fetch(

@@ -182,3 +182,27 @@ def test_numthreads_cap_only_when_explicit(spark, fixture_t1):
         assert r["nparts"] == 1, (
             f"{r['warc_file']} split across {r['nparts']} tasks under the cap"
         )
+
+
+def test_fetch_task_deadline(spark, fixture_t1):
+    """T4 (CCFileExtractor.java:150-153 queue-poll timeout): past the
+    per-task deadline remaining records are NOT fetched — they surface as
+    read_error='deadline_exceeded' rows counted by observe(), and the
+    extracted branch drops them."""
+    fx = fixture_t1
+    cfg = ExtractorConfig(
+        index_paths=(fx.paths_gz,),
+        selector=SELECTOR,
+        fetch_deadline_seconds=0.0,
+    )
+    res = run_fetch(spark, cfg, path_resolver=lambda f: warc_local_path(fx.root, f))
+    assert res.extracted.count() == 0
+    m = res.metrics["observation"].get
+    assert m["read_errors"] == m["fetchable_records"] > 0
+
+    # generous deadline: nothing marked (the default-path regression guard)
+    cfg2 = ExtractorConfig(index_paths=(fx.paths_gz,), selector=SELECTOR)
+    res2 = run_fetch(spark, cfg2, path_resolver=lambda f: warc_local_path(fx.root, f))
+    n = res2.extracted.count()
+    assert n > 0
+    assert res2.metrics["observation"].get["read_errors"] == 0
