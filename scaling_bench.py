@@ -135,7 +135,8 @@ def gen_seed_files(spark) -> None:
 
     from commoncrawl_fetcher_lite_spark.frontier.urlseen import with_url_hash
 
-    if _gen_is_current(SEED_DIR, N_SEEDS):
+    shape = f"{N_SEEDS}-hash{os.environ.get('SCALING_SEED_HASH', '1')}"
+    if _gen_is_current(SEED_DIR, shape):
         return
     seeds = spark.range(N_SEEDS).select(
         F.concat(
@@ -150,6 +151,13 @@ def gen_seed_files(spark) -> None:
         (F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) / 1000.0).alias("priority"),
         F.lit(0.0).alias("recrawl_score"),
     )
+    # the real frontier table carries url_hash (scheduler.bootstrap writes
+    # it); storing it here gives both W1 paths the loop's true input shape
+    # — in particular the diet's late payload join becomes a pure column
+    # scan instead of a canonicalize+hash recompute (SCALING_SEED_HASH=0
+    # reproduces the unhashed variant)
+    if os.environ.get("SCALING_SEED_HASH", "1") == "1":
+        seeds = with_url_hash(seeds)
     seeds.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SEED_DIR, "seeds")
     )
@@ -166,7 +174,7 @@ def gen_seed_files(spark) -> None:
     seen.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SEED_DIR, "seen")
     )
-    _mark_gen(SEED_DIR, N_SEEDS)
+    _mark_gen(SEED_DIR, shape)
 
 
 def workload_frontier(spark) -> float:
