@@ -311,6 +311,68 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep — the composition a 100 TB pipeline
+    actually runs, as ONE Catalyst plan: language gate (computed lang_id,
+    not the stored label) ∧ quality gate (min word count) ∧ exact-dup
+    keeper (min doc_id per md5) ∧ near-dup cluster exemplar (minhash-LSH →
+    connected components, keep cluster_id == doc_id). Each gate is an
+    already-oracled operator; the intersection is deterministic, so the
+    whole pipeline is SQL-expressible and hash-checked end-to-end."""
+    from pyspark.sql import Window
+
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        shingle_frame,
+        verify_jaccard,
+    )
+    from commoncrawl_fetcher_lite_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = lang_id(docs).select("doc_id", "pred_lang")
+    quality = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words")
+    )
+    keepers = (
+        docs.withColumn(
+            "keep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+    )
+    sh = shingle_frame(docs).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, bands=32, num_perm=64, shingles=sh)
+    pairs = verify_jaccard(cand, docs, threshold=0.5, shingles=sh)
+    exemplars = (
+        dedup_clusters(pairs, docs=docs)
+        .where(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        keepers.join(exemplars, "doc_id")
+        .join(langs, "doc_id")
+        .join(quality, "doc_id")
+        .where((F.col("pred_lang") == "en") & (F.col("n_words") >= 30))
+        .select("doc_id", "pred_lang", "n_words")
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (scale path for
+    embedding_neardup's O(n²) baseline): hyperplane (rot, bucket) self-join
+    on int-only rows, late vector join, exact cosine verify. Deterministic
+    seeded planes → the DuckDB oracle reproduces the identical bucketing
+    from inlined literals; pytest additionally measures recall vs the exact
+    all-pairs baseline."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    return lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_rotations=12)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (scale path): banded bucket join +
     exact Jaccard verify. Oracle: exact all-pairs Jaccard ≥ 0.5 — with
@@ -659,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "corpus_clean": q_corpus_clean,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
@@ -718,10 +782,59 @@ def _lsh_ann_oracle_sql(
     """
 
 
+def _lsh_neardup_oracle_sql(
+    n_planes: int = 3,
+    n_rotations: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    """Exact SQL twin of q_embedding_neardup_lsh: same inlined seeded
+    hyperplanes → identical (rot, bucket) candidate pairs, then the same
+    rounded cosine threshold (list_dot_product matches the Catalyst
+    zip_with/aggregate double sum bit-for-bit on this data — proven by the
+    embedding_neardup and lsh_ann oracles)."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for rot in range(n_rotations):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed + rot * 1000)):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            rows.append(f"({rot},{p},{arr}::DOUBLE[])")
+    planes_values = ",\n".join(rows)
+    return f"""
+        WITH planes(rot, p, plane) AS (VALUES {planes_values}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+        sigs AS (
+          SELECT e.vec_id, pl.rot,
+                 SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                          THEN (1 << pl.p) ELSE 0 END) AS bucket
+          FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.rot
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sigs a JOIN sigs b USING (rot, bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos_sim FROM (
+          SELECT cand.id_a, cand.id_b,
+                 ROUND(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6)
+                     AS cos_sim
+          FROM cand
+          JOIN emb ea ON ea.vec_id = cand.id_a
+          JOIN emb eb ON eb.vec_id = cand.id_b)
+        WHERE cos_sim >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_ann": """
             WITH emb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -939,6 +1052,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(m) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "corpus_clean": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                   FROM t WHERE len(w) >= 3),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM p),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.m FROM e JOIN reach r ON e.b = r.node
+            ),
+            clusters AS (SELECT node AS doc_id, MIN(m) AS cluster_id
+                         FROM reach GROUP BY node),
+            exemplars AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+            keepers AS (SELECT doc_id FROM (
+                            SELECT doc_id,
+                                   min(doc_id) OVER (PARTITION BY md5(text))
+                                       AS keep
+                            FROM documents) WHERE doc_id = keep),
+            s AS (SELECT doc_id,
+                round(len(list_filter(w, x -> x IN ('the','a','and','of','to')))
+                      * 1.0 / len(w), 6) AS s_en,
+                round(len(list_filter(w, x -> x IN ('der','die','das','und','nicht')))
+                      * 1.0 / len(w), 6) AS s_de,
+                round(len(list_filter(w, x -> x IN ('el','la','los','que','y')))
+                      * 1.0 / len(w), 6) AS s_es,
+                round(len(list_filter(w, x -> x IN ('le','la','les','et','est')))
+                      * 1.0 / len(w), 6) AS s_fr,
+                round(len(list_filter(w, x -> x IN ('的','是','了','在','我')))
+                      * 1.0 / len(w), 6) AS s_zh
+                FROM t),
+            f1 AS (SELECT doc_id, s_es, s_fr, s_zh,
+                          CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pl,
+                          CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS b
+                   FROM s),
+            f2 AS (SELECT doc_id, s_fr, s_zh,
+                          CASE WHEN s_es > b THEN 'es' ELSE pl END AS pl,
+                          CASE WHEN s_es > b THEN s_es ELSE b END AS b
+                   FROM f1),
+            f3 AS (SELECT doc_id, s_zh,
+                          CASE WHEN s_fr > b THEN 'fr' ELSE pl END AS pl,
+                          CASE WHEN s_fr > b THEN s_fr ELSE b END AS b
+                   FROM f2),
+            f4 AS (SELECT doc_id,
+                          CASE WHEN s_zh > b THEN 'zh' ELSE pl END AS pl
+                   FROM f3),
+            langs AS (SELECT doc_id, pl AS pred_lang FROM f4),
+            quality AS (SELECT doc_id, len(w) AS n_words FROM t)
+            SELECT k.doc_id, pred_lang, n_words
+            FROM keepers k
+            JOIN exemplars USING (doc_id)
+            JOIN langs USING (doc_id)
+            JOIN quality USING (doc_id)
+            WHERE pred_lang = 'en' AND n_words >= 30
         """,
         "embedding_neardup": """
             WITH v AS (

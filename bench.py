@@ -51,9 +51,16 @@ BENCH_QUERIES = [
     "decontaminate",
     "minhash_lsh",
     "dedup_clusters",
+    "corpus_clean",
     "simhash_neardup",
     "lsh_ann",
     "ivf_ann",
+    # embedding_neardup_lsh is correctness-gated at sf0.01 but excluded
+    # here: its driver-query config targets the fixture's cos-0.4 regime,
+    # where hyperplane collision probabilities (0.63 true vs 0.50 random
+    # per bit) barely separate and candidate generation degenerates toward
+    # all-pairs — the real sweep regime is c>=0.9 / n_planes>=8, which the
+    # fixture has no pairs to exercise.
     "fingerprint",
     "lang_id",
     "bpe_token_count",

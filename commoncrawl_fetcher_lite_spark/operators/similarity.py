@@ -96,27 +96,15 @@ def lsh_signature(vec_col: str | Column, planes: list[list[float]]) -> Column:
     return out
 
 
-def lsh_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    n_planes: int = 8,
-    n_rotations: int = 3,
-    dim: int = 64,
-    seed: int = 42,
-    query_id: str = "query_id",
-    corpus_id: str = "vec_id",
-    query_vec: str = "qv",
-    corpus_vec: str = "v",
-) -> DataFrame:
-    """Approximate top-k: union of same-bucket candidates over n_rotations
-    independent signatures, exact cosine re-rank. Recall grows with
-    rotations; candidates per query ≈ rotations · |N| / 2^n_planes."""
-    # all rotations in ONE pass per side: signature array + posexplode →
-    # a single equi-join on (rotation, bucket) instead of n_rotations
-    # separate scans and unions. Signatures are ONE numpy matmul per Arrow
-    # batch (sign bits of V @ planes.T) — the interpreted per-plane
-    # zip_with/aggregate dot products measured ~100x slower.
+def _bucket_frame_fn(n_planes: int, n_rotations: int, dim: int, seed: int):
+    """Returns buckets(df, vec, keep) -> DataFrame exploding every row into
+    its (rot, bucket) LSH cells for the seeded hyperplane family.
+
+    All rotations in ONE pass per side: signature array + posexplode → a
+    single equi-join on (rotation, bucket) instead of n_rotations separate
+    scans and unions. Signatures are ONE numpy matmul per Arrow batch
+    (sign bits of V @ planes.T) — the interpreted per-plane
+    zip_with/aggregate dot products measured ~100x slower."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -147,6 +135,27 @@ def lsh_topk(
             *keep, vec, F.posexplode(sig_udf(F.col(vec))).alias("rot", "bucket")
         )
 
+    return buckets
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_rotations: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "v",
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over n_rotations
+    independent signatures, exact cosine re-rank. Recall grows with
+    rotations; candidates per query ≈ rotations · |N| / 2^n_planes."""
+    buckets = _bucket_frame_fn(n_planes, n_rotations, dim, seed)
+
     qs = buckets(queries, query_vec, [query_id])
     cs = buckets(corpus, corpus_vec, [corpus_id])
     cand = (
@@ -164,6 +173,76 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_rotations: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the scale path for
+    dedup.embedding_neardup_pairs' O(n²) baseline).
+
+    Candidates = unordered pairs sharing ANY (rotation, bucket) cell of the
+    seeded random-hyperplane family; verify = exact double-precision cosine
+    ≥ threshold. Per-pair recall at cosine c is 1-(1-p^b)^r with
+    p = 1 - arccos(c)/π — tune (b=n_planes, r=n_rotations) to the target
+    regime: (3,12) gives ~97% at c=0.4; a true near-dup sweep at c≥0.9
+    wants (8+,8) where buckets are ~2^8 smaller. The bucketing is a pure
+    function of (seed, dim), so a SQL oracle reproduces the identical
+    candidate set by inlining the planes as literals.
+
+    Regime honesty: pruning power is the collision-probability GAP between
+    true pairs and the cos≈0 background (p_true^b vs 0.5^b per rotation).
+    At c=0.4 the gap is thin (0.63 vs 0.50) and low-b settings keep most
+    pairs — fine for verification corpora, NOT a speedup. At c=0.9
+    (p=0.86, b=8) a rotation keeps 0.27 of true pairs but 0.4% of the
+    background — the 100 TB setting where this beats the O(n²) baseline
+    by orders of magnitude.
+
+    Scale shape (the frontier shuffle-diet lesson applied to dedup): the
+    self-join carries ONLY (id, rot, bucket) int rows — vectors stay out of
+    every exchange until the deduped candidate pairs are known, then two
+    equi-joins fetch the vectors for the exact re-rank. The skinny
+    signature frame is persisted so the self-join's two sides don't each
+    recompute the signature matmul."""
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    buckets = _bucket_frame_fn(n_planes, n_rotations, dim, seed)
+    sigs = buckets(v, "v", ["id"]).select("id", "rot", "bucket").localCheckpoint()
+    a = sigs.select(F.col("id").alias("id_a"), "rot", "bucket")
+    b = sigs.select(F.col("id").alias("id_b"), "rot", "bucket")
+    cand = (
+        a.join(b, ["rot", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    vn = v.withColumn("n", norm)
+    pair_vecs = cand.join(
+        vn.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+        "id_a",
+    ).join(
+        vn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+        "id_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        pair_vecs.withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def _kmeans_centroids(

@@ -115,6 +115,66 @@ def test_embedding_neardup_pairs(spark, emb):
     assert all(r["id_a"] < r["id_b"] and r["cos_sim"] >= 0.4 for r in rows)
 
 
+def test_lsh_neardup_pairs_recall_and_subset(spark, emb):
+    """LSH-bucketed near-dup pairs: every emitted pair is a true pair
+    (exact cosine verify makes precision 1.0 by construction), recall vs
+    the O(n²) baseline meets the 1-(1-p^b)^r analysis (~0.97 predicted at
+    cos 0.4, b=3, r=12), and reruns are deterministic."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import lsh_neardup_pairs
+
+    exact = embedding_neardup_pairs(
+        emb.withColumnRenamed("v", "embedding"), threshold=0.4
+    )
+    approx = lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_rotations=12)
+    e = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in exact.collect()}
+    a = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in approx.collect()}
+    assert set(a) <= set(e), "LSH emitted a pair the exact baseline rejects"
+    recall = len(a) / len(e)
+    assert recall >= 0.85, f"LSH near-dup recall too low: {recall}"
+    for k, v in a.items():
+        assert abs(v - e[k]) < 1e-9
+    rerun = {(r["id_a"], r["id_b"]) for r in
+             lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_rotations=12).collect()}
+    assert rerun == set(a)
+
+
+def test_lsh_neardup_high_threshold_regime(spark):
+    """The operator's real 100 TB regime: planted c>=0.95 near-dup pairs in
+    a random background, swept at threshold 0.9 with n_planes=8 (where a
+    rotation keeps ~27% of true pairs but ~0.4% of the background). All
+    planted pairs must surface; nothing else crosses the exact verify."""
+    import numpy as np
+
+    from commoncrawl_fetcher_lite_spark.operators.similarity import lsh_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    jitter = base + 0.12 * rng.normal(size=base.shape)  # cos ~ 0.97
+    vecs = np.concatenate([base, jitter])  # id i dups id i+60
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    out = lsh_neardup_pairs(emb, threshold=0.9, n_planes=8, n_rotations=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 60) for i in range(60)}
+    # exact-cosine ground truth at 0.9 (a few jitters may fall below)
+    true_planted = {
+        (i, i + 60)
+        for i in range(60)
+        if float(
+            vecs[i] @ vecs[i + 60]
+            / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[i + 60]))
+        )
+        >= 0.9
+    }
+    assert len(true_planted) >= 50  # the construction worked
+    recall = len(got & true_planted) / len(true_planted)
+    assert recall >= 0.9, f"high-threshold recall too low: {recall}"
+    for a, b in got - planted:  # any extra pair must truly be >= 0.9
+        c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        assert c >= 0.9 - 1e-6
+
+
 def test_lsh_ann_recall(spark, emb):
     q = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

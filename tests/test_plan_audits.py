@@ -144,3 +144,46 @@ def test_politeness_joins_size_gated(spark, tmp_path_factory):
         assert "BroadcastHashJoin" not in plan_state
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_lsh_neardup_candidate_exchanges_are_skinny(spark):
+    """lsh_neardup_pairs' scale contract: the (rot, bucket) self-join and
+    the pair dedup shuffle ONLY int rows — the vector column crosses an
+    exchange at most in the two final fetch joins (and never the
+    candidate-generation ones). Mirrors the frontier diet audit."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    # at sf0.01 every join broadcasts (no exchanges to audit) — disable
+    # broadcast to see the shuffle shape a 100 TB corpus would plan
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_rotations=12)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    lines = plan.splitlines()
+    vec_exchanges = skinny_exchanges = 0
+    for i, ln in enumerate(lines):
+        if ") Exchange" not in ln:
+            continue
+        for follow in lines[i + 1 : i + 4]:
+            if follow.strip().startswith("Input"):
+                if "v#" in follow or "va#" in follow or "vb#" in follow:
+                    vec_exchanges += 1
+                elif "rot#" in follow or "id_a#" in follow or "id_b#" in follow:
+                    skinny_exchanges += 1
+                break
+    # the two payload fetch joins + the intermediate (pairs ⋈ va) that the
+    # second chained join must shuffle; candidate generation contributes 0
+    # (at real scale the deduped pair set is sparse vs the corpus, so AQE
+    # broadcast-converts these — sf0.01 proves that: zero exchanges at the
+    # default threshold)
+    assert vec_exchanges <= 3, plan
+    assert skinny_exchanges >= 3, plan  # self-join (x2) + dedup stay int-only
