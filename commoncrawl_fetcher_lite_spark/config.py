@@ -165,13 +165,21 @@ class FrontierConfig:
     bloom_expected_items: int = 10_000_000  # per partition block
     bloom_fpp: float = 0.01
     checkpoint_root: str = ""
-    # opt-in shuffle-byte diet for the scheduling hot path (frontier/
-    # diet.py): anti-join + top-k windows on the 24 B skinny frame, late
-    # payload join. Identical batches under distinct priorities (tested);
-    # documented trade-offs: hash-only anti-join, host-hash windows,
-    # (prio, url_hash) tie-break, and token refill over PRE-seen-filter
-    # hosts (a benign host_state superset — an unscheduled refilled host
-    # converges to the same avail as a fresh one).
+    # Shuffle-byte diet for the scheduling hot path (frontier/diet.py):
+    # anti-join + top-k windows on the 24 B skinny frame, late payload
+    # join. With the frontier's real shape (stored url_hash — bootstrap
+    # always writes it) the diet measured FASTEST at every parallelism
+    # level (1.9x exact at 2 cores, 1.45x at 8; 6 quiet pinned pairs,
+    # BENCH/BASELINE.md), and on a multi-node cluster the shuffle-byte
+    # cut only grows. It stays OPT-IN for one reason: its priority-tie
+    # break is (prio, url_hash) while the north rule's reference-matching
+    # crawl order is (prio, url asc) — identical batches whenever
+    # priorities are distinct (tested, incl. through the full snapshot
+    # loop), divergent only on exact priority ties. Other documented
+    # trade-offs: hash-only anti-join, host-hash windows, and token
+    # refill over PRE-seen-filter hosts (a benign host_state superset —
+    # an unscheduled refilled host converges to the same avail as a
+    # fresh one).
     compact_shuffles: bool = False
 
 
