@@ -152,6 +152,39 @@ def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_urlseen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The urlseen anti-join through a BUCKETED seen table
+    (frontier/bucketed.py): one-time bucketBy(n, key) write, then every
+    steady-state anti-join shuffles only the candidate side — at the
+    10^10-row seen target this removes the loop's dominant recurring
+    shuffle (plan-audited). Same semantics as urlseen_antijoin, so the
+    oracle is the identical NOT EXISTS."""
+    import tempfile
+
+    from commoncrawl_fetcher_lite_spark.frontier.bucketed import (
+        filter_unseen_bucketed,
+        write_seen_bucketed,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    write_seen_bucketed(
+        spark,
+        seen,
+        table="q_urlseen_bucketed_tbl",
+        n_buckets=8,
+        path=tempfile.mkdtemp(prefix="urlseen_bucketed_"),
+        key="c_custkey",
+    )
+    return filter_unseen_bucketed(
+        spark, cust, table="q_urlseen_bucketed_tbl", key="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -704,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_report": q_top_report,
         "host_quota": q_host_quota,
         "urlseen_antijoin": q_urlseen_antijoin,
+        "urlseen_bucketed": q_urlseen_bucketed,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -917,6 +951,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE host_rank <= 5
         """,
         "urlseen_antijoin": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "urlseen_bucketed": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,

@@ -187,3 +187,35 @@ def test_lsh_neardup_candidate_exchanges_are_skinny(spark):
     # default threshold)
     assert vec_exchanges <= 3, plan
     assert skinny_exchanges >= 3, plan  # self-join (x2) + dedup stay int-only
+
+
+def test_bucketed_seen_antijoin_no_state_exchange(spark, tmp_path_factory):
+    """Bucketed URL-seen (frontier/bucketed.py): after the one-time
+    bucketBy write, the steady-state anti-join must shuffle ONLY the
+    candidate side — the seen scan feeds its join tasks directly. At the
+    10^10-row target this removes the loop's dominant recurring shuffle."""
+    from commoncrawl_fetcher_lite_spark.frontier.bucketed import (
+        filter_unseen_bucketed,
+        write_seen_bucketed,
+    )
+
+    d = str(tmp_path_factory.mktemp("bucketed"))
+    seen = spark.range(20_000).select((F.col("id") * 2).alias("url_hash"))
+    write_seen_bucketed(
+        spark, seen, table="t_seen_bucketed", n_buckets=8, path=d + "/seen"
+    )
+    cands = spark.range(3_000).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+    )
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = filter_unseen_bucketed(spark, cands, table="t_seen_bucketed")
+        plan = _plan(out)
+        assert plan.count(") Exchange") == 1, plan  # candidates only
+        got = {r["url_hash"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql("DROP TABLE IF EXISTS t_seen_bucketed")
+    assert got == {i for i in range(3_000) if i % 2 == 1}
