@@ -486,14 +486,18 @@ def dedup_clusters(
     transitive closure matters because near-dup is not transitive at the
     pair level (A~B, B~C but A!~C still must collapse to one exemplar).
 
-    Iterative min-label propagation: label(n) <- min(label(n), min over
-    neighbors' labels) until fixpoint. Each round is ONE shuffle on the
-    node key; labels are localCheckpointed per round so the plan stays
-    flat (no exponentially nested joins). Converges in <= cluster-diameter
-    rounds — near-dup graphs are shallow stars/cliques around exemplars,
-    so 2-4 rounds in practice; max_iter bounds pathological chains. When
-    `docs` is given, docs in no pair appear as singletons (cluster_id =
-    own id)."""
+    Iterative min-label propagation WITH pointer doubling: each round
+    first takes label(n) <- min(label(n), min over neighbors' labels),
+    then compresses label(n) <- label(label(n)) — the doubling halves
+    remaining chain depth every round, so convergence is O(log diameter)
+    instead of O(diameter) (a 300-node path converges in ~9 rounds, not
+    300). Each round is two shuffles on the node key; labels are
+    localCheckpointed per round so the plan stays flat (no exponentially
+    nested joins). Near-dup graphs are shallow stars/cliques around
+    exemplars, so 2-3 rounds in practice; max_iter bounds pathology and
+    the loop RAISES if still unconverged (partial labels are wrong, not
+    approximate). When `docs` is given, docs in no pair appear as
+    singletons (cluster_id = own id)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -512,14 +516,26 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr"))
         )
+        stepped = labels.join(prop, F.col("node") == F.col("src"), "left").select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("new_label"),
+        )
+        # pointer doubling: follow the label's own label one hop —
+        # label(label(n)) is a member of the same component with an
+        # equal-or-smaller id, so min-label semantics are preserved while
+        # chain depth halves per round
+        lab2 = stepped.select(
+            F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
+        )
         stepped = (
-            labels.join(prop, F.col("node") == F.col("src"), "left")
+            stepped.join(lab2, stepped["new_label"] == lab2["p_node"], "left")
             .select(
                 "node",
                 "label",
-                F.least(F.col("label"), F.coalesce("nbr", "label")).alias(
-                    "new_label"
-                ),
+                F.least(
+                    F.col("new_label"), F.coalesce("p_label", "new_label")
+                ).alias("new_label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -408,7 +408,20 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_iter=2).collect()
+        dedup_clusters(chain, max_iter=1).collect()
     # and with enough rounds the same chain converges to min-label 0
     ok = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
     assert ok == {i: 0 for i in range(13)}
+
+
+def test_dedup_clusters_pointer_doubling_deep_chain(spark):
+    """Pointer doubling makes convergence O(log diameter): a 300-edge path
+    (diameter 300 — plain propagation would need 300 rounds) must converge
+    within the default max_iter=25 and label every node 0."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(301)}
