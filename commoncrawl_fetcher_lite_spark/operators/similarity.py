@@ -153,23 +153,55 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: union of same-bucket candidates over n_rotations
     independent signatures, exact cosine re-rank. Recall grows with
-    rotations; candidates per query ≈ rotations · |N| / 2^n_planes."""
+    rotations; candidates per query ≈ rotations · |N| / 2^n_planes.
+
+    Shuffle shape (diet-style): the (rot, bucket) candidate join and the
+    pair dedup move ONLY id+int rows; the vectors are re-fetched by two
+    id equi-joins just before the re-rank — a columnar re-scan costs less
+    than shipping a 64-float array through every exchange."""
     buckets = _bucket_frame_fn(n_planes, n_rotations, dim, seed)
 
-    qs = buckets(queries, query_vec, [query_id])
-    cs = buckets(corpus, corpus_vec, [corpus_id])
+    qs = buckets(queries, query_vec, [query_id]).select(query_id, "rot", "bucket")
+    cs = buckets(corpus, corpus_vec, [corpus_id]).select(corpus_id, "rot", "bucket")
     cand = (
         qs.join(cs, ["rot", "bucket"])
         .where(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, F.col(corpus_id).alias("neighbor_id"), query_vec, corpus_vec)
+        .select(query_id, F.col(corpus_id).alias("neighbor_id"))
         .dropDuplicates([query_id, "neighbor_id"])
     )
-    scored = cand.select(
-        F.col(query_id),
-        F.col("neighbor_id"),
-        F.round(
-            _dot(query_vec, corpus_vec) / (_norm(query_vec) * _norm(corpus_vec)), 6
-        ).alias("cos_sim"),
+    return _rerank_topk(
+        cand, queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
+    )
+
+
+def _rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Late vector fetch + exact cosine re-rank + per-query top-k over a
+    skinny (query_id, neighbor_id) candidate frame."""
+    scored = (
+        cand.join(queries.select(query_id, query_vec), query_id)
+        .join(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"), corpus_vec
+            ),
+            "neighbor_id",
+        )
+        .select(
+            F.col(query_id),
+            F.col("neighbor_id"),
+            F.round(
+                _dot(query_vec, corpus_vec) / (_norm(query_vec) * _norm(corpus_vec)),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -403,24 +435,21 @@ def ivf_topk(
         order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(cids[order]))
 
+    # cell assignment needs the vectors; the candidate join does NOT — the
+    # (cell) equi-join and pair dedup move only id+int rows, vectors are
+    # re-fetched by id for the re-rank (same diet shape as lsh_topk)
     cs = spread_for_compute(corpus).select(
-        corpus_id, corpus_vec, assign_cell(F.col(corpus_vec)).alias("cell")
+        corpus_id, assign_cell(F.col(corpus_vec)).alias("cell")
     )
     qs = spread_for_compute(queries).select(
-        query_id, query_vec, F.explode(probe_cells(F.col(query_vec))).alias("cell")
+        query_id, F.explode(probe_cells(F.col(query_vec))).alias("cell")
     )
     cand = (
         qs.join(cs, "cell")
         .where(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, F.col(corpus_id).alias("neighbor_id"), query_vec, corpus_vec)
+        .select(query_id, F.col(corpus_id).alias("neighbor_id"))
         .dropDuplicates([query_id, "neighbor_id"])
     )
-    scored = cand.select(
-        F.col(query_id),
-        F.col("neighbor_id"),
-        F.round(
-            _dot(query_vec, corpus_vec) / (_norm(query_vec) * _norm(corpus_vec)), 6
-        ).alias("cos_sim"),
+    return _rerank_topk(
+        cand, queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
