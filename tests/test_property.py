@@ -112,3 +112,79 @@ def test_path_rewriter_properties(digest, seg_lens):
     assert out.replace("/", "").endswith(digest)
     # 4. oracle twin agrees
     assert oracle._rewrite(digest, pattern) == out
+
+
+# ---------------------------------------------------------------- robots
+# Spark fused longest-match fold (politeness.apply_robots over
+# robots_frame's precompiled plain/wild rule arrays) vs an independent
+# pure-Python RFC 9309 matcher on RANDOM wildcard rules and paths.
+
+_pat_st = st.text(alphabet="ab/*.$", min_size=1, max_size=8).map(
+    lambda s: "/" + s
+)
+_path_st = st.text(alphabet="ab/.$", min_size=0, max_size=10).map(
+    lambda s: "/" + s
+)
+
+
+def _rfc_blocked(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Independent longest-match evaluator: among matching rules the most
+    raw-pattern octets win, ties go to Allow; no match → allowed.
+    `*` = any sequence, TRAILING `$` = end anchor (mid `$` literal)."""
+    import re
+
+    def matches(pat: str) -> bool:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        rx = "^" + "".join(".*" if c == "*" else re.escape(c) for c in body)
+        if anchored:
+            rx += "$"
+        return re.search(rx, path) is not None
+
+    best = (0, True)  # (octets, allow)
+    for pat, allow in rules:
+        if matches(pat):
+            key = (len(pat.encode()), allow)
+            if key > best:
+                best = key
+    return best[0] > 0 and not best[1]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    rules=st.lists(
+        st.tuples(_pat_st, st.booleans()), min_size=0, max_size=6
+    ),
+    paths=st.lists(_path_st, min_size=1, max_size=8, unique=True),
+)
+def test_robots_wildcard_fold_matches_rfc_reference(spark, rules, paths):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    body = "User-agent: *\n" + "\n".join(
+        ("Allow: " if allow else "Disallow: ") + pat for pat, allow in rules
+    )
+    robots = robots_frame(
+        spark.createDataFrame(
+            [("h.example.com", body)], "host string, robots_txt string"
+        )
+    )
+    cands = spark.createDataFrame(
+        [("https://h.example.com" + p, "h.example.com") for p in paths],
+        "url string, host string",
+    )
+    kept = {
+        r["url"].removeprefix("https://h.example.com")
+        for r in apply_robots(cands, robots, broadcast=True).collect()
+    }
+    expected = {p for p in paths if not _rfc_blocked(rules, p)}
+    assert kept == expected, (
+        f"rules={rules} divergent paths: "
+        f"spark-only={kept - expected} ref-only={expected - kept}"
+    )
