@@ -71,6 +71,51 @@ def filter_unseen_bucketed(
     The seen side scans bucket-aligned (no Exchange, no Sort when the
     table was written sortBy(key) with one file per bucket); only the
     candidate side shuffles, into n_buckets partitions matching the
-    table's hash distribution."""
+    table's hash distribution.
+
+    Hash-only membership: a candidate whose 64-bit hash collides with a
+    DIFFERENT seen url is wrongly dropped (~n²/2^65 — a few million
+    expected at the 10^10 target). Use filter_unseen_bucketed_exact when
+    that matters."""
     seen = spark.table(table).select(key)
     return candidates.join(seen, key, "left_anti")
+
+
+def filter_unseen_bucketed_exact(
+    spark: SparkSession,
+    candidates: DataFrame,
+    table: str = "urlseen_bucketed",
+    key: str = "url_hash",
+    url_col: str = "url",
+) -> DataFrame:
+    """Collision-exact bucketed anti-join — semantics identical to
+    urlseen.filter_unseen's (url_hash, url) composite key, still without
+    ever shuffling the seen table.
+
+    Spark only reuses a table's bucket distribution when the join keys
+    equal the bucket key, so a direct (url_hash, url) anti-join would
+    re-shuffle the state. Instead: (1) inner-probe on url_hash alone —
+    the bucketed side stays exchange-free, output is batch-sized (true
+    matches + ~0 collisions); (2) keep only probes whose url string
+    really matches; (3) anti-join the candidates against that verified,
+    batch-sized seen subset. Both remaining shuffles move O(batch) rows.
+
+    The probe output is materialized (localCheckpoint) BEFORE the string
+    verify: left in one plan, Catalyst recognizes the post-join equality
+    as an equi-join condition, rewrites the join keys to (url, url_hash),
+    and disables the bucketed scan — i.e. the optimizer would silently
+    reintroduce the full state shuffle this function exists to avoid. The
+    checkpoint costs one O(batch) materialization; the plan audit pins
+    the resulting shape."""
+    seen = spark.table(table).select(
+        key, F.col(url_col).alias("_seen_url")
+    )
+    probe = (
+        candidates.select(key, url_col).join(seen, key).localCheckpoint()
+    )
+    verified = (
+        probe.where(F.col(url_col) == F.col("_seen_url"))
+        .select(key, url_col)
+        .distinct()
+    )
+    return candidates.join(verified, [key, url_col], "left_anti")

@@ -219,3 +219,58 @@ def test_bucketed_seen_antijoin_no_state_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.sql("DROP TABLE IF EXISTS t_seen_bucketed")
     assert got == {i for i in range(3_000) if i % 2 == 1}
+
+
+def test_bucketed_exact_variant_survives_hash_collision(spark, tmp_path_factory):
+    """filter_unseen_bucketed_exact must keep a candidate whose url_hash
+    collides with a DIFFERENT seen url (the hash-only variant drops it),
+    and its plan must still leave the bucketed seen scan exchange-free."""
+    from commoncrawl_fetcher_lite_spark.frontier.bucketed import (
+        filter_unseen_bucketed,
+        filter_unseen_bucketed_exact,
+        write_seen_bucketed,
+    )
+
+    d = str(tmp_path_factory.mktemp("bucketed_exact"))
+    seen = spark.createDataFrame(
+        [(5, "https://seen/a"), (9, "https://seen/b")],
+        "url_hash long, url string",
+    )
+    write_seen_bucketed(
+        spark, seen, table="t_seen_exact", n_buckets=4, path=d + "/seen"
+    )
+    cands = spark.createDataFrame(
+        [
+            (5, "https://seen/a"),      # truly seen -> dropped by both
+            (5, "https://collide/x"),   # hash collision -> exact keeps it
+            (7, "https://fresh/y"),     # unseen -> kept by both
+        ],
+        "url_hash long, url string",
+    )
+    try:
+        exact = filter_unseen_bucketed_exact(spark, cands, table="t_seen_exact")
+        hashonly = filter_unseen_bucketed(spark, cands, table="t_seen_exact")
+        assert {r["url"] for r in exact.collect()} == {
+            "https://collide/x",
+            "https://fresh/y",
+        }
+        assert {r["url"] for r in hashonly.collect()} == {"https://fresh/y"}
+        # the probe join (the function's stage 1 — hash-only key, string
+        # verify deferred past a checkpoint precisely so Catalyst can't
+        # fold it into the join keys) must use the bucketed scan: no
+        # Exchange above the seen table
+        orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            seen_side = spark.table("t_seen_exact").select(
+                "url_hash", F.col("url").alias("_seen_url")
+            )
+            probe_plan = _plan(
+                cands.select("url_hash", "url").join(seen_side, "url_hash")
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        assert "Bucketed: true" in probe_plan, probe_plan
+        assert probe_plan.count(") Exchange") == 1, probe_plan  # cands only
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_seen_exact")
