@@ -496,6 +496,26 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the seeded spherical k-means coarse quantizer
+    (balanced cells on clustered data). Deterministic — a pure function of
+    (data, seed) — but Lloyd iterations are not SQL-expressible, so this
+    query carries NO oracle_sql entry by design: the driver records the
+    rows-only check, and pytest (recall/balance/determinism,
+    test_dedup_similarity) is the correctness signal."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk(
+        q, emb, k=3, n_cells=16, n_probe=4, quantizer="kmeans"
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th document plays the held-out
     benchmark; flag corpus docs sharing any word-3-gram with it (broadcast
@@ -762,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_kmeans": q_ivf_ann_kmeans,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "bpe_token_count": q_bpe_token_count,
