@@ -3,10 +3,13 @@
 Media spans (the `media_ref`/binary payloads the extraction pipeline emits)
 are treated as opaque `binary` columns with typed metadata. The Spark-side
 plumbing — schema, partitioning, Arrow batch shape, UDF signatures — is
-real and tested; the actual codec work (image decode, audio resample,
-frame sampling) is STUBBED behind `decode_stub=True` (deterministic fake)
-or raises NotImplementedError, because no image/audio libraries exist in
-this container. On a real cluster you drop Pillow/torchaudio calls into the
+real and tested. The decode layer is real wherever pure Python reaches:
+images via import-gated Pillow, WAV fully (stdlib), MP3/ID3 headers, mp4
+box structure (dims, stts frame count, mvhd duration) and webm EBML
+headers (dims, duration). Only genuine CODEC work — audio resample, video
+frame decode — is STUBBED behind `decode_stub=True` (deterministic fake)
+or raises NotImplementedError, because no codec libraries exist in this
+container; on a real cluster you drop Pillow/torchaudio/av calls into the
 marked spots without touching the plumbing.
 
 Scale design: media bytes stay in executor-side Arrow batches end to end
@@ -231,6 +234,159 @@ def _decode_wav(payload: bytes, feature_dim: int) -> tuple[int, float, list]:
     return sr, nframes / float(sr or 1), feat
 
 
+def _iter_mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    buf[start:end]; handles 64-bit (size==1) and to-end (size==0) boxes."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off : off + 4], "big")
+        btype = bytes(buf[off + 4 : off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _parse_mp4(payload: bytes):
+    """ISO-BMFF structural parse (no codec work): moov/mvhd → duration,
+    first video trak's tkhd → (width, height), its stbl/stts → frame
+    count. Returns (width, height, n_frames, duration_s) or None when no
+    moov is present (streaming-fragmented or truncated file)."""
+    buf = payload
+    timescale = duration = None
+    width = height = n_frames = None
+
+    def find_stts(s: int, e: int):
+        for t, cs, ce in _iter_mp4_boxes(buf, s, e):
+            if t == b"stts":
+                n = int.from_bytes(buf[cs + 4 : cs + 8], "big")
+                total = 0
+                for i in range(n):
+                    o = cs + 8 + i * 8
+                    if o + 8 > ce:
+                        break
+                    total += int.from_bytes(buf[o : o + 4], "big")
+                return total
+            if t in (b"mdia", b"minf", b"stbl"):
+                got = find_stts(cs, ce)
+                if got is not None:
+                    return got
+        return None
+
+    saw_moov = False
+    for t, s, e in _iter_mp4_boxes(buf, 0, len(buf)):
+        if t != b"moov":
+            continue
+        saw_moov = True
+        for ct, cs, ce in _iter_mp4_boxes(buf, s, e):
+            if ct == b"mvhd" and ce - cs >= 20:
+                v = buf[cs]
+                if v == 1:
+                    timescale = int.from_bytes(buf[cs + 20 : cs + 24], "big")
+                    duration = int.from_bytes(buf[cs + 24 : cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(buf[cs + 12 : cs + 16], "big")
+                    duration = int.from_bytes(buf[cs + 16 : cs + 20], "big")
+            elif ct == b"trak" and width is None:
+                dims = frames = None
+                for tt, ts_, te in _iter_mp4_boxes(buf, cs, ce):
+                    if tt == b"tkhd":
+                        v = buf[ts_]
+                        woff = ts_ + (88 if v == 1 else 76)
+                        if woff + 8 <= te:
+                            w = int.from_bytes(buf[woff : woff + 4], "big") >> 16
+                            h = (
+                                int.from_bytes(buf[woff + 4 : woff + 8], "big")
+                                >> 16
+                            )
+                            if w and h:
+                                dims = (w, h)
+                    elif tt == b"mdia":
+                        frames = find_stts(ts_, te)
+                if dims is not None:  # the video track (audio tkhd dims are 0)
+                    width, height = dims
+                    n_frames = frames
+    if not saw_moov:
+        return None
+    dur_s = (
+        duration / timescale if duration is not None and timescale else None
+    )
+    return width, height, n_frames, dur_s
+
+
+def _ebml_vint(buf: bytes, off: int, strip: bool):
+    """Matroska variable-length int at buf[off]; returns (value, next_off)
+    or None. IDs keep the length-marker bit (strip=False), sizes drop it."""
+    if off >= len(buf):
+        return None
+    b0 = buf[off]
+    ln = next((i for i in range(1, 9) if b0 & (0x80 >> (i - 1))), None)
+    if ln is None or off + ln > len(buf):
+        return None
+    val = (b0 & ((0x80 >> (ln - 1)) - 1)) if strip else b0
+    for i in range(1, ln):
+        val = (val << 8) | buf[off + i]
+    return val, off + ln
+
+
+def _parse_webm(payload: bytes):
+    """Matroska/WebM EBML structural parse: Segment→Info gives
+    TimecodeScale+Duration, Tracks→TrackEntry→Video gives pixel dims.
+    Returns (width, height, duration_s) or None if no Segment parses.
+    Frame counting needs a Cluster walk — out of header-parse scope."""
+    import struct as _struct
+
+    CONTAINERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+    scale = None
+    dur_units = None
+    width = height = None
+    found = False
+
+    def walk(s: int, e: int) -> None:
+        nonlocal scale, dur_units, width, height, found
+        off = s
+        while off < e:
+            rid = _ebml_vint(payload, off, strip=False)
+            if rid is None:
+                return
+            eid, off2 = rid
+            rsz = _ebml_vint(payload, off2, strip=True)
+            if rsz is None:
+                return
+            sz, body = rsz
+            end = min(e, body + sz)
+            if eid in CONTAINERS:
+                if eid == 0x18538067:
+                    found = True
+                walk(body, end)
+            elif eid == 0x2AD7B1:
+                scale = int.from_bytes(payload[body:end], "big")
+            elif eid == 0x4489 and end - body in (4, 8):
+                fmt = ">f" if end - body == 4 else ">d"
+                dur_units = _struct.unpack(fmt, payload[body:end])[0]
+            elif eid == 0xB0:
+                width = int.from_bytes(payload[body:end], "big")
+            elif eid == 0xBA:
+                height = int.from_bytes(payload[body:end], "big")
+            off = end
+
+    walk(0, len(payload))
+    if not found:
+        return None
+    dur_s = (
+        dur_units * (scale or 1_000_000) / 1e9 if dur_units is not None else None
+    )
+    return width, height, dur_s
+
+
 def _decode_real(mid: str, kind: str, payload: bytes, feature_dim: int) -> dict:
     """Real decode for the kinds we have a library for; NotImplementedError
     otherwise. Image path: Pillow open → (width, height) + a grayscale
@@ -238,8 +394,10 @@ def _decode_real(mid: str, kind: str, payload: bytes, feature_dim: int) -> dict:
     cheap visual fingerprint; swap in a real embedding model on clusters
     that carry one. Audio path is pure-Python: WAV decodes fully (stdlib
     wave + numpy RMS windows); MP3/ID3 parses real header metadata
-    (sample rate, CBR duration) with feature=None — the mutagen contract;
-    other audio containers and all video still raise honestly."""
+    (sample rate, CBR duration) with feature=None — the mutagen contract.
+    Video parses real container structure pure-Python (mp4 box walk →
+    dims/frames/duration; webm EBML → dims/duration) with feature=None;
+    FRAME decode genuinely needs av/ffmpeg and still raises."""
     if kind == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             sr, dur, feat = _decode_wav(payload, feature_dim)
@@ -296,6 +454,43 @@ def _decode_real(mid: str, kind: str, payload: bytes, feature_dim: int) -> dict:
             "duration_s": None,
             "feature": feat,
         }
+    if kind == "video":
+        if len(payload) >= 8 and payload[4:8] == b"ftyp":
+            parsed = _parse_mp4(bytes(payload))
+            if parsed is not None:
+                w, h, nf, dur = parsed
+                return {
+                    "media_id": mid,
+                    "kind": kind,
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                    "sample_rate": None,
+                    "duration_s": round(dur, 6) if dur is not None else None,
+                    "feature": None,  # frame decode needs av/ffmpeg
+                }
+            raise NotImplementedError(
+                "mp4 has no moov box (fragmented/truncated) — full demux "
+                "needs av/ffmpeg"
+            )
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            parsed = _parse_webm(bytes(payload))
+            if parsed is not None:
+                w, h, dur = parsed
+                return {
+                    "media_id": mid,
+                    "kind": kind,
+                    "width": w,
+                    "height": h,
+                    "n_frames": None,
+                    "sample_rate": None,
+                    "duration_s": round(dur, 6) if dur is not None else None,
+                    "feature": None,
+                }
+        raise NotImplementedError(
+            "video container not recognized — only mp4/webm headers parse "
+            "without av/ffmpeg"
+        )
     raise NotImplementedError(
         f"real decode for kind={kind!r} needs av/ffmpeg — not installed"
     )

@@ -225,3 +225,72 @@ def test_extract_features_audio_real(spark):
     assert rows["mp31"]["sample_rate"] == 44100
     assert rows["mp31"]["duration_s"] is not None and rows["mp31"]["duration_s"] > 0
     assert rows["mp31"]["feature"] is None
+
+
+def test_extract_features_video_real(spark):
+    """Video real path: mp4 structural parse (box walk → dims, stts frame
+    count, mvhd duration) and webm EBML parse (pixel dims, scaled
+    duration) — pure Python, feature=None (frame decode honestly needs
+    av/ffmpeg); a moov-less fragmented mp4 still raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from commoncrawl_fetcher_lite_spark.operators.multimodal import _decode_real
+
+    def box(t, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + (600).to_bytes(4, "big") + (1200).to_bytes(4, "big")
+        + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(76) + (320 << 16).to_bytes(4, "big") + (240 << 16).to_bytes(4, "big"),
+    )
+    stts = box(
+        b"stts",
+        bytes(4) + (2).to_bytes(4, "big")
+        + (10).to_bytes(4, "big") + (100).to_bytes(4, "big")
+        + (5).to_bytes(4, "big") + (200).to_bytes(4, "big"),
+    )
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stts))))
+    mp4 = box(b"ftyp", b"mp42" + bytes(4)) + box(b"moov", mvhd + trak)
+
+    def el(eid, payload):
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + el(b"\x44\x89", struct.pack(">f", 5000.0)),
+    )
+    video = el(
+        b"\xe0",
+        el(b"\xb0", (640).to_bytes(2, "big")) + el(b"\xba", (360).to_bytes(2, "big")),
+    )
+    tracks = el(b"\x16\x54\xae\x6b", el(b"\xae", video))
+    webm = el(b"\x1a\x45\xdf\xa3", bytes(4)) + el(b"\x18\x53\x80\x67", info + tracks)
+
+    df = spark.createDataFrame(
+        [
+            ("mp4a", "video", bytearray(mp4)),
+            ("webm1", "video", bytearray(webm)),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r for r in extract_features(df, decode_stub=False).collect()
+    }
+    m = rows["mp4a"]
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 240, 15)
+    assert abs(m["duration_s"] - 2.0) < 1e-6 and m["feature"] is None
+    w = rows["webm1"]
+    assert (w["width"], w["height"]) == (640, 360)
+    assert abs(w["duration_s"] - 5.0) < 1e-6 and w["feature"] is None
+
+    fragmented = box(b"ftyp", b"mp42" + bytes(4)) + box(b"mdat", b"\x00" * 16)
+    with _pytest.raises(NotImplementedError, match="no moov"):
+        _decode_real("f1", "video", fragmented, 16)
