@@ -152,6 +152,48 @@ def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl flagship as a hash-checked CORRECTNESS row: URL-seen
+    anti-join (filter_unseen's (url_hash, url) exact key ≡ url membership,
+    since the hash is a function of the url) → effective priority → salted
+    two-level per-host top-k (provably equal to the plain quota window —
+    the equivalence the salting tests pin). Seeds derive deterministically
+    from the events table; every 7th event is 'already seen'."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import schedule_batch
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
+        filter_unseen,
+        with_url_hash,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.col("value").alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+        "event_id",
+    )
+    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    unseen = filter_unseen(seeds, seen)
+    quotas = spark.createDataFrame([], "host string, quota int")
+    out = schedule_batch(unseen, quotas, default_quota=20, n_salt=4, broadcast=True)
+    return out.select(
+        "url",
+        "host",
+        "host_rank",
+        F.round("effective_priority", 6).alias("effective_priority"),
+    )
+
+
 def q_urlseen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The urlseen anti-join through a BUCKETED seen table
     (frontier/bucketed.py): one-time bucketBy(n, key) write, then every
@@ -758,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": q_host_quota,
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_bucketed": q_urlseen_bucketed,
+        "frontier_schedule": q_frontier_schedule,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -978,6 +1021,29 @@ def oracle_sql() -> dict[str, str]:
         "urlseen_bucketed": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "frontier_schedule": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 50 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR)
+                           AS url,
+                       'host' || CAST(user_id % 50 AS VARCHAR)
+                           || '.example.com' AS host,
+                       value AS priority, event_id
+                FROM events),
+            unseen AS (
+                SELECT * FROM seeds s
+                WHERE NOT EXISTS (SELECT 1 FROM seeds t
+                                  WHERE t.event_id % 7 = 0 AND t.url = s.url)),
+            ranked AS (
+                SELECT url, host, priority + 0.0 AS eff,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, url ASC)
+                           AS host_rank
+                FROM unseen)
+            SELECT url, host, CAST(host_rank AS INTEGER) AS host_rank,
+                   ROUND(eff, 6) AS effective_priority
+            FROM ranked WHERE host_rank <= 20
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_dups
