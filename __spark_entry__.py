@@ -194,6 +194,48 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_schedule_diet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship through the shuffle-byte diet (frontier/diet.py:
+    24 B skinny frame through the anti-join and both windows, late payload
+    join) — sharing the exact path's SQL oracle. Valid because priorities
+    are made deterministically DISTINCT (value + event_id·1e-9, event_id
+    unique; identical IEEE double arithmetic in both engines), so the
+    diet's (prio, url_hash) tie-break is never consulted and its output
+    provably equals the (prio, url) canonical order."""
+    from commoncrawl_fetcher_lite_spark.frontier.diet import (
+        schedule_frontier_compact,
+    )
+    from commoncrawl_fetcher_lite_spark.frontier.urlseen import with_url_hash
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        (F.col("value") + F.col("event_id") * F.lit(1e-9)).alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+        "event_id",
+    )
+    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    out = schedule_frontier_compact(
+        seeds, seen, default_quota=20, n_salt=4, broadcast=True
+    )
+    return out.select(
+        "url",
+        "host",
+        "host_rank",
+        F.round("effective_priority", 6).alias("effective_priority"),
+    )
+
+
 def q_urlseen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The urlseen anti-join through a BUCKETED seen table
     (frontier/bucketed.py): one-time bucketBy(n, key) write, then every
@@ -801,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_bucketed": q_urlseen_bucketed,
         "frontier_schedule": q_frontier_schedule,
+        "frontier_schedule_diet": q_frontier_schedule_diet,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1030,6 +1073,29 @@ def oracle_sql() -> dict[str, str]:
                        'host' || CAST(user_id % 50 AS VARCHAR)
                            || '.example.com' AS host,
                        value AS priority, event_id
+                FROM events),
+            unseen AS (
+                SELECT * FROM seeds s
+                WHERE NOT EXISTS (SELECT 1 FROM seeds t
+                                  WHERE t.event_id % 7 = 0 AND t.url = s.url)),
+            ranked AS (
+                SELECT url, host, priority + 0.0 AS eff,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, url ASC)
+                           AS host_rank
+                FROM unseen)
+            SELECT url, host, CAST(host_rank AS INTEGER) AS host_rank,
+                   ROUND(eff, 6) AS effective_priority
+            FROM ranked WHERE host_rank <= 20
+        """,
+        "frontier_schedule_diet": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 50 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR)
+                           AS url,
+                       'host' || CAST(user_id % 50 AS VARCHAR)
+                           || '.example.com' AS host,
+                       value + event_id * 1e-9 AS priority, event_id
                 FROM events),
             unseen AS (
                 SELECT * FROM seeds s
