@@ -34,8 +34,17 @@ def spread_for_compute(df, min_partitions: int | None = None):
     Small-file inputs arrive as 1-2 scan partitions; a signature/hashing
     stage then runs on 1-2 cores no matter the cluster size. One cheap
     shuffle (rows pass through once) buys full-width parallelism for the
-    expensive stage. No-op cost at scale: inputs that already have ≥
-    min_partitions keep their layout (call sites guard with this)."""
+    expensive stage.
+
+    NEVER narrows: an input that already has >= target partitions is
+    returned unchanged — a 100 TB scan arrives with far more partitions
+    than defaultParallelism, and collapsing it here would both throttle
+    the most CPU-expensive stages (shingling, simhash, signature matmuls)
+    to ~#cores AND round-robin-shuffle the full text/vector payload to do
+    it. The guard lives in the helper itself so every call site gets it."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    existing = df.rdd.getNumPartitions()
+    if existing >= target:
+        return df
     return df.repartition(target)

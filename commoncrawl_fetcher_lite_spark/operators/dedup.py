@@ -490,14 +490,18 @@ def dedup_clusters(
     first takes label(n) <- min(label(n), min over neighbors' labels),
     then compresses label(n) <- label(label(n)) — the doubling halves
     remaining chain depth every round, so convergence is O(log diameter)
-    instead of O(diameter) (a 300-node path converges in ~9 rounds, not
-    300). Each round is two shuffles on the node key; labels are
-    localCheckpointed per round so the plan stays flat (no exponentially
-    nested joins). Near-dup graphs are shallow stars/cliques around
-    exemplars, so 2-3 rounds in practice; max_iter bounds pathology and
-    the loop RAISES if still unconverged (partial labels are wrong, not
-    approximate). When `docs` is given, docs in no pair appear as
-    singletons (cluster_id = own id)."""
+    instead of O(diameter) (a 300-node path converges in ~10 rounds, not
+    300). The doubling join is GATED: round 1 runs propagation only,
+    because near-dup graphs are shallow stars/cliques around exemplars
+    that converge in 1-2 propagation hops — paying an extra join +
+    eager checkpoint per round for them buys nothing (measured +15-70%
+    on the sf0.1 bench). Deep chains lose at most one round to the gate
+    and keep the O(log diameter) bound from round 2 on. Each round is
+    one or two shuffles on the node key; labels are localCheckpointed
+    per round so the plan stays flat (no exponentially nested joins).
+    max_iter bounds pathology and the loop RAISES if still unconverged
+    (partial labels are wrong, not approximate). When `docs` is given,
+    docs in no pair appear as singletons (cluster_id = own id)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -510,7 +514,7 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (
             edges.join(labels, F.col("dst") == F.col("node"))
             .groupBy("src")
@@ -521,24 +525,28 @@ def dedup_clusters(
             "label",
             F.least(F.col("label"), F.coalesce("nbr", "label")).alias("new_label"),
         )
-        # pointer doubling: follow the label's own label one hop —
-        # label(label(n)) is a member of the same component with an
-        # equal-or-smaller id, so min-label semantics are preserved while
-        # chain depth halves per round
-        lab2 = stepped.select(
-            F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
-        )
-        stepped = (
-            stepped.join(lab2, stepped["new_label"] == lab2["p_node"], "left")
-            .select(
+        if it >= 1:
+            # pointer doubling: follow the label's own label one hop —
+            # label(label(n)) is a member of the same component with an
+            # equal-or-smaller id, so min-label semantics are preserved
+            # while chain depth halves per round. Gated off in round 1:
+            # stars/cliques (the common near-dup shape) finish with one
+            # propagation hop and would pay the extra join + checkpoint
+            # for nothing; deep chains lose at most one round and keep
+            # the O(log diameter) bound from round 2 on.
+            lab2 = stepped.select(
+                F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
+            )
+            stepped = stepped.join(
+                lab2, stepped["new_label"] == lab2["p_node"], "left"
+            ).select(
                 "node",
                 "label",
                 F.least(
                     F.col("new_label"), F.coalesce("p_label", "new_label")
                 ).alias("new_label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.where(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:

@@ -274,3 +274,34 @@ def test_bucketed_exact_variant_survives_hash_collision(spark, tmp_path_factory)
         assert probe_plan.count(") Exchange") == 1, probe_plan  # cands only
     finally:
         spark.sql("DROP TABLE IF EXISTS t_seen_exact")
+
+
+def test_spread_for_compute_never_narrows(spark):
+    """VERDICT r4 #1: spread_for_compute must honor its own contract — a
+    wide input (more partitions than defaultParallelism, the 100 TB scan
+    shape) keeps its layout through the compute-staging helper and through
+    the shingle/simhash call sites; only narrow inputs get widened."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        shingle_frame,
+        with_simhash,
+    )
+
+    default = spark.sparkContext.defaultParallelism
+    wide_n = max(200, default * 4)
+    wide = spark.range(0, 10_000, 1, wide_n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon doc "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    assert wide.rdd.getNumPartitions() == wide_n
+    # helper itself: wide stays wide (and is the SAME plan — no shuffle)
+    assert spread_for_compute(wide).rdd.getNumPartitions() == wide_n
+    assert "Exchange" not in _plan(spread_for_compute(wide))
+    # call sites: the CPU stages inherit the full width
+    assert shingle_frame(wide).rdd.getNumPartitions() >= wide_n
+    assert with_simhash(wide).rdd.getNumPartitions() >= wide_n
+    # narrow inputs still get spread to cluster width
+    narrow = wide.coalesce(1)
+    assert spread_for_compute(narrow).rdd.getNumPartitions() == default
