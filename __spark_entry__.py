@@ -142,14 +142,20 @@ def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-seen dedup as anti-join (§2.6): customers never seen in orders."""
+    """URL-seen dedup as anti-join (§2.6): customers never seen in orders.
+
+    The seen set is restricted to a custkey subrange (% 4 != 1) so the
+    row is non-vacuous at sf0.01 (ADVICE r4: every customer has an order
+    in this synthetic data, so the unrestricted anti-join hash-matched on
+    zero rows and couldn't catch a wrongly-dropping join)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
-        "c_custkey",
-        "left_anti",
-    ).select("c_custkey", "c_name")
+    seen = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .where(F.col("c_custkey") % 4 != 1)
+        .distinct()
+    )
+    return cust.join(seen, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,9 +257,13 @@ def q_urlseen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = _t(spark, sf_dir, "customer")
+    # same % 4 != 1 seen-subrange as urlseen_antijoin: non-empty output at
+    # sf0.01, so a bucketed join that wrongly dropped candidates would
+    # break the hash (ADVICE r4)
     seen = (
         _t(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("c_custkey"))
+        .where(F.col("c_custkey") % 4 != 1)
         .distinct()
     )
     write_seen_bucketed(
@@ -683,18 +693,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 `*`/`$` wildcard rules end-to-end: even-index hosts carry
-    `Disallow: /e/*9$` (7 pattern octets — outranks the 5-octet
-    `Allow: /e/13`, so /e/139 is blocked while plain /e/13 stays allowed)
-    next to the prefix rules. The oracle recomputes longest-match
-    precedence in SQL with regexp_matches, checking the parser's
-    regex translation + the fused single-pass fold, not mirroring them."""
+    `Disallow: /e/*9$` (6 pattern octets — outranks the 5-octet
+    `Allow: /e/13`, so /e/29 is blocked while plain /e/13 stays allowed)
+    next to the prefix rules, PLUS `Allow: /e/1*9` (also 6 octets): for a
+    path like /e/139 the best disallow and best allow TIE at 6 and RFC
+    least-restrictive tie-breaking must allow it — an off-by-one octet
+    count on either rule flips that outcome, so the oracle genuinely pins
+    the precedence arithmetic (ADVICE r4). The oracle recomputes
+    longest-match precedence in SQL with regexp_matches, checking the
+    parser's regex translation + the fused single-pass fold, not
+    mirroring them."""
     from commoncrawl_fetcher_lite_spark.frontier.politeness import apply_robots
     from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
 
     seeds = _seeds_view(spark, sf_dir)
     hosts = seeds.select("host").distinct()
     body_even = (
-        "User-agent: *\nDisallow: /e/*9$\nDisallow: /e/1\nAllow: /e/13"
+        "User-agent: *\nDisallow: /e/*9$\nDisallow: /e/1\n"
+        "Allow: /e/13\nAllow: /e/1*9"
     )
     bodies = hosts.select(
         "host",
@@ -1059,11 +1075,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "urlseen_antijoin": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_custkey % 4 <> 1)
         """,
         "urlseen_bucketed": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_custkey % 4 <> 1)
         """,
         "frontier_schedule": """
             WITH seeds AS (
@@ -1442,12 +1462,14 @@ def oracle_sql() -> dict[str, str]:
             m AS (
                 SELECT url, hk,
                        CASE WHEN starts_with(path, '/e/1') THEN 4 ELSE 0 END AS d1,
-                       CASE WHEN regexp_matches(path, '^/e/.*9$') THEN 7
+                       CASE WHEN regexp_matches(path, '^/e/.*9$') THEN 6
                             ELSE 0 END AS d2,
-                       CASE WHEN starts_with(path, '/e/13') THEN 5 ELSE 0 END AS a1
+                       CASE WHEN starts_with(path, '/e/13') THEN 5 ELSE 0 END AS a1,
+                       CASE WHEN regexp_matches(path, '^/e/1.*9') THEN 6
+                            ELSE 0 END AS a2
                 FROM seeds)
             SELECT url FROM m
-            WHERE NOT (hk % 2 = 0 AND greatest(d1, d2) > a1)
+            WHERE NOT (hk % 2 = 0 AND greatest(d1, d2) > greatest(a1, a2))
         """,
         "urlseen_blocked": """
             WITH seeds AS (

@@ -180,7 +180,9 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        "bench", cores=CPUS, shuffle_partitions=CPUS, tmpfs_local_dir=True
+    )
     qs = entrymod.queries()
     qs["frontier_schedule"] = frontier_schedule_query
     qs["frontier_schedule_compact"] = frontier_schedule_compact_query

@@ -127,12 +127,14 @@ class ExtractorConfig:
     # index files; defaults to the HTTP fetcher like the reference
     index_fetch: FetchConfig = None  # type: ignore[assignment]
     # numThreads (ExtractorConfig.java:50, reference default 2): the engine
-    # analog is the fetch STAGE's task count. 0 = engine-managed (no cap) —
-    # a DELIBERATE divergence from the reference's default: its "2" sizes a
-    # single box's worker pool, and porting that as a default would
-    # silently throttle a 1000-executor fetch stage to 2 tasks. The cap
-    # applies only when the config names numThreads explicitly.
-    num_threads: int = 0
+    # analog is the fetch STAGE's task count. -1 = absent from the config;
+    # resolution (effective_fetch_cap, ADVICE r4): absent + HTTP transport
+    # -> cap 2, matching the reference's external-load behavior toward the
+    # Common Crawl origin (its README advises ~3 http connections); absent
+    # + S3/fs transport -> uncapped (those scale with the cluster and the
+    # reference's "2" merely sized one box's worker pool). 0 = explicit
+    # uncapped opt-in for HTTP too. >0 = that cap, any transport.
+    num_threads: int = -1
     selector: dict[str, Any] | None = None
     max_records: int = LONG_MAX
     max_files_extracted: int = LONG_MAX
@@ -200,6 +202,23 @@ def _normalize_emit_dict(cfg: dict[str, Any]) -> dict[str, Any] | None:
     return d
 
 
+def effective_fetch_cap(cfg: "ExtractorConfig", transport_is_http: bool) -> int | None:
+    """Resolve numThreads into the fetch stage's task cap (None = uncapped).
+
+    ADVICE r4 policy: a config that OMITS numThreads keeps the reference's
+    modest courtesy cap (2, ExtractorConfig.java:50) when the bytes come
+    from the HTTP origin — existing reference configs then produce the
+    same external load they always did — while S3/fs transports run at
+    cluster width (the reference's "2" only sized one box's worker pool).
+    Explicit numThreads=0 opts HTTP out of the cap; explicit >0 caps any
+    transport."""
+    if cfg.num_threads > 0:
+        return cfg.num_threads
+    if cfg.num_threads == 0:
+        return None
+    return 2 if transport_is_http else None
+
+
 def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
     """Parse a reference-style config JSON dict (README.md:97-126 shape;
     fetcher/docs resolution per ExtractorConfig.java:157-278 — see the
@@ -213,7 +232,7 @@ def from_json_dict(cfg: dict[str, Any]) -> ExtractorConfig:
         index_base_path=indices.get("basePath", ""),
         index_profile=indices.get("profile", ""),
         index_fetch=FetchConfig.from_dict(cfg.get("indexFetcher")),
-        num_threads=int(cfg.get("numThreads", 0)),  # absent = engine-managed
+        num_threads=int(cfg.get("numThreads", -1)),  # absent = sentinel -1
         selector=cfg.get("recordSelector"),
         max_records=int(cfg.get("maxRecords", LONG_MAX)),
         max_files_extracted=int(cfg.get("maxFilesExtracted", LONG_MAX)),

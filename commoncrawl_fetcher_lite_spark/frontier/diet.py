@@ -34,6 +34,15 @@ operators stay the default and keep their oracle rows):
   * within-host determinism tie-break is (priority desc, url_hash asc)
     instead of (priority desc, url asc): equally deterministic, but
     equal-priority ties order differently than schedule_batch.
+  * the late payload join fans out on a 64-bit collision between two
+    UNSEEN candidates (ADVICE r4): m colliding payload urls match each of
+    the k scheduled skinny rows for that hash (m*k batch rows, duplicate
+    host_ranks, quota exceeded) — same ~n²/2^65 probability class as the
+    false-drop above. dedupe_collisions=True repairs it post-join by
+    pairing the i-th smallest url with the i-th rank per hash group (one
+    batch-sized window exchange); off by default because that exchange —
+    tiny as it is — breaks the "quota-bounded frames only past the
+    windows" plan shape the audits pin.
 
 With per-candidate distinct priorities the diet's output EQUALS the exact
 path's output, including host_rank (tested: test_frontier_diet.py).
@@ -60,6 +69,7 @@ def schedule_frontier_compact(
     n_salt: int = 16,
     priority_col: Column | None = None,
     broadcast: bool | None = None,
+    dedupe_collisions: bool = False,
 ) -> DataFrame:
     """Seen-filter + politeness top-k on the 24 B skinny frame; payload
     re-joined once after the final row_number filter.
@@ -125,6 +135,23 @@ def schedule_frontier_compact(
     # late payload join: sched is quota-bounded → AQE broadcast; the
     # payload branch re-derives url_hash map-side (no exchange)
     payload = cand.select("url_hash", "url", "host")
-    return payload.join(sched, "url_hash").select(
+    out = payload.join(sched, "url_hash").select(
         "url_hash", "url", "host", "host_rank", "effective_priority"
     )
+    if dedupe_collisions:
+        # collision fanout repair (module docstring): m colliding payload
+        # urls × k scheduled skinny rows joined to m*k rows. Pair the i-th
+        # smallest url with the i-th best rank per hash group — identity
+        # for the 1×1 no-collision case, and under a collision every url
+        # is scheduled at most once with the quota respected. Both windows
+        # partition on url_hash → ONE batch-sized exchange, never the
+        # candidate set.
+        w_u = Window.partitionBy("url_hash").orderBy("url")
+        w_r = Window.partitionBy("url_hash").orderBy("host_rank")
+        out = (
+            out.withColumn("_ui", F.dense_rank().over(w_u))
+            .withColumn("_ri", F.dense_rank().over(w_r))
+            .where(F.col("_ui") == F.col("_ri"))
+            .drop("_ui", "_ri")
+        )
+    return out

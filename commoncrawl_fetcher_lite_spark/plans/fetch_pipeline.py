@@ -116,17 +116,21 @@ def run_fetch(
 
     # T3 concurrency cap (ExtractorConfig.java:50 numThreads; README.md:
     # 169-172 operational guidance ~3 http / ~50 s3): the engine analog is
-    # the fetch STAGE's task count. Applied ONLY when the config names
-    # numThreads (num_threads > 0) — see config.py. The cap is passed into
-    # extract_payloads so its filename-hash repartition does both jobs at
-    # once: bound the task count AND keep each WARC's records in one task
-    # (the per-task handle cache). The shuffle barrier keeps the upstream
-    # scan/parse at full width.
+    # the fetch STAGE's task count, resolved by config.effective_fetch_cap
+    # (absent numThreads + HTTP origin → the reference's courtesy cap of 2;
+    # absent + S3/fs/explicit-resolver → uncapped; explicit values win).
+    # The cap is passed into extract_payloads so its filename-hash
+    # repartition does both jobs at once: bound the task count AND keep
+    # each WARC's records in one task (the per-task handle cache). The
+    # shuffle barrier keeps the upstream scan/parse at full width.
+    from commoncrawl_fetcher_lite_spark.config import effective_fetch_cap
+
+    transport_is_http = path_resolver is None and cfg.fetch.kind == "http"
     fetched = extract_payloads(
         would_extract,
         path_resolver,
         target_path_pattern=cfg.target_path_pattern or "xx/xx/xxx",
-        num_partitions=cfg.num_threads if cfg.num_threads > 0 else None,
+        num_partitions=effective_fetch_cap(cfg, transport_is_http),
         task_deadline_seconds=cfg.fetch_deadline_seconds,
         emit_dir=cfg.emit.base_path or None,
         fetcher_factory=fetcher_factory,

@@ -17,6 +17,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    tmpfs_local_dir: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -41,13 +42,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill dir: prefer tmpfs — on this shared box the default
-    # disk tmp adds multi-second stalls under other tenants' I/O (the
-    # scaling protocol measured it; shuffle-heavy queries ran 2-3x slower
-    # with CPU-pure ones unchanged). A real deployment points this at
-    # node-local SSD; SPARK_LOCAL_DIRS overrides either way.
+    # Shuffle/spill dir. tmpfs is an explicit OPT-IN (ADVICE r4): it's the
+    # right call for this box's bench/scaling runs — the shared-disk tmp
+    # adds multi-second stalls under other tenants' I/O (measured: shuffle-
+    # heavy queries 2-3x slower, CPU-pure ones unchanged) — but it is the
+    # WRONG library default: /dev/shm is RAM-backed (capped ~50% RAM), so
+    # workloads that spill precisely because memory is short would hit
+    # ENOSPC where plain disk tmp worked. Bench entry points pass
+    # tmpfs_local_dir=True (or set SPARK_GRAFT_TMPFS=1); library consumers
+    # keep Spark's default. SPARK_LOCAL_DIRS overrides everything.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
-    if not local_dir and os.path.isdir("/dev/shm"):
+    if tmpfs_local_dir is None:
+        tmpfs_local_dir = os.environ.get("SPARK_GRAFT_TMPFS", "") == "1"
+    if not local_dir and tmpfs_local_dir and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-tmp"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -39,7 +39,9 @@ def main() -> None:
     )
     from commoncrawl_fetcher_lite_spark.session import get_spark
 
-    spark = get_spark("incremental-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        "incremental-bench", cores=CPUS, shuffle_partitions=CPUS, tmpfs_local_dir=True
+    )
     root = tempfile.mkdtemp(prefix="inc_bench_")
     try:
         seeds = spark.range(N_SEEDS).select(

@@ -152,19 +152,29 @@ def test_fetch_stage_concurrency_cap(spark, fixture_t1):
 
 
 def test_numthreads_cap_only_when_explicit(spark, fixture_t1):
-    """ADVICE r3: absent numThreads must NOT throttle the fetch stage to
-    the reference's single-box default of 2; and when the cap IS set, same-
-    file records stay in one task (filename-hash repartition, preserving
-    the per-task WARC handle cache)."""
+    """numThreads resolution (ADVICE r3 + r4): absent numThreads must NOT
+    throttle a cluster-scaling transport (S3/fs/explicit resolver) — but
+    for the HTTP origin an absent value keeps the reference's courtesy cap
+    of 2 (ExtractorConfig.java:50), so existing reference configs produce
+    the same external load they always did; explicit 0 opts HTTP out.
+    When the cap IS set, same-file records stay in one task (filename-hash
+    repartition, preserving the per-task WARC handle cache)."""
     from pyspark.sql import functions as F
 
-    from commoncrawl_fetcher_lite_spark.config import from_json_dict
-
-    assert from_json_dict({"indices": {"paths": []}}).num_threads == 0
-    assert (
-        from_json_dict({"indices": {"paths": []}, "numThreads": 3}).num_threads
-        == 3
+    from commoncrawl_fetcher_lite_spark.config import (
+        effective_fetch_cap,
+        from_json_dict,
     )
+
+    absent = from_json_dict({"indices": {"paths": []}})
+    assert absent.num_threads == -1
+    assert effective_fetch_cap(absent, transport_is_http=True) == 2
+    assert effective_fetch_cap(absent, transport_is_http=False) is None
+    explicit0 = from_json_dict({"indices": {"paths": []}, "numThreads": 0})
+    assert effective_fetch_cap(explicit0, transport_is_http=True) is None
+    explicit3 = from_json_dict({"indices": {"paths": []}, "numThreads": 3})
+    assert explicit3.num_threads == 3
+    assert effective_fetch_cap(explicit3, transport_is_http=False) == 3
 
     fx = fixture_t1
     cfg = ExtractorConfig(

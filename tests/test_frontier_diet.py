@@ -176,3 +176,42 @@ def test_diet_loop_equals_exact_loop(spark, tmp_path):
         a = {tuple(r) for r in se.read(table).collect()}
         b = {tuple(r) for r in sd.read(table).collect()}
         assert a == b, f"{table} diverged under compact_shuffles"
+
+
+def test_diet_collision_fanout_and_dedupe(spark):
+    """ADVICE r4: a 64-bit url_hash collision between two UNSEEN
+    candidates fans the late payload join out (duplicate scheduled rows
+    sharing one host_rank, quota exceeded by one). dedupe_collisions=True
+    repairs it with a batch-sized group-by keeping the smallest url."""
+    cand = spark.createDataFrame(
+        [
+            # planted collision: two distinct urls, same pre-set hash
+            (111, "https://h.example.com/a", "h.example.com", 0.9, 0.0),
+            (111, "https://h.example.com/b", "h.example.com", 0.9, 0.0),
+            (222, "https://h.example.com/c", "h.example.com", 0.5, 0.0),
+        ],
+        "url_hash long, url string, host string, priority double, "
+        "recrawl_score double",
+    )
+    seen = spark.createDataFrame([(999,)], "url_hash long")
+    quotas = spark.createDataFrame(
+        [("h.example.com", 2)], "host string, quota int"
+    )
+
+    fanned = schedule_frontier_compact(
+        cand, seen, quotas, n_salt=2, broadcast=True
+    ).collect()
+    # quota 2: both colliding skinny rows fill it (ranks 1,2), then the
+    # payload join fans each out to both urls → 4 rows, duplicate ranks,
+    # and /c pushed out entirely
+    assert len(fanned) == 4
+    assert sorted(r["host_rank"] for r in fanned) == [1, 1, 2, 2]
+
+    fixed = schedule_frontier_compact(
+        cand, seen, quotas, n_salt=2, broadcast=True, dedupe_collisions=True
+    ).collect()
+    assert len(fixed) == 2
+    by_rank = {r["host_rank"]: r["url"] for r in fixed}
+    # i-th smallest url paired with i-th rank: each url once, quota kept
+    assert by_rank[1] == "https://h.example.com/a"
+    assert by_rank[2] == "https://h.example.com/b"
