@@ -279,6 +279,80 @@ def q_urlseen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_crawl_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL crawl loop as one oracle-hashed driver row (VERDICT r4
+    #7): bootstrap → TWO run_iteration calls through a real SnapshotStore
+    — robots filter (RFC 9309 precedence), URL-seen anti-join, token-
+    bucket refill, salted per-host top-k, MoR frontier delete, seen
+    append, host_state upsert — then the committed batch tables read
+    back. Constants chosen so the token bucket is the binding constraint
+    and its carried state is visible in the output: burst 10, rate 1/s,
+    dt 30 s, max_per_batch 100 → iteration 1 quota floor(10+30)=40,
+    iteration 2 quota floor(min(40, (40-40)+30))=30. The oracle
+    recomputes both iterations arithmetically in SQL; host_rank is
+    re-derived from batch membership + priorities (valid because the
+    batch IS the top-k prefix under the same (priority desc, url asc)
+    order schedule_batch uses)."""
+    import tempfile
+
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+    from commoncrawl_fetcher_lite_spark.frontier.robots import robots_frame
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        # distinct priorities (event_id unique) → tie-breaks never consulted
+        (F.col("value") + F.col("event_id") * F.lit(1e-9)).alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+    )
+    hosts = seeds.select("host").distinct()
+    bodies = hosts.select(
+        "host",
+        F.when(
+            F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 2 == 0,
+            F.lit("User-agent: *\nDisallow: /e/1\nAllow: /e/13"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+        .alias("robots_txt"),
+    )
+    robots = robots_frame(bodies, agent="ccbot")
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_iter_"), spark)
+    scheduler.bootstrap(store, seeds, robots=robots)
+    cfg = FrontierConfig(
+        default_tokens_per_sec=1.0,
+        default_burst=10,
+        default_max_per_batch=100,
+        n_salt=4,
+    )
+    batches = []
+    for it in (1, 2):
+        scheduler.run_iteration(store, cfg, batch_seconds=30.0)
+        batches.append(
+            store.read("batch").select("url").withColumn("iter", F.lit(it))
+        )
+    both = batches[0].unionByName(batches[1])
+    joined = both.join(seeds.select("url", "host", "priority"), "url")
+    w = Window.partitionBy("iter", "host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    return joined.select(
+        "iter", "url", "host", F.row_number().over(w).alias("host_rank")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -592,11 +666,17 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with the seeded spherical k-means coarse quantizer
-    (balanced cells on clustered data). Deterministic — a pure function of
-    (data, seed) — but Lloyd iterations are not SQL-expressible, so this
-    query carries NO oracle_sql entry by design: the driver records the
-    rows-only check, and pytest (recall/balance/determinism,
-    test_dedup_similarity) is the correctness signal."""
+    (balanced cells on clustered data). Lloyd iterations are not
+    SQL-expressible, so DuckDB cannot recompute the index — but it CAN
+    compute the exact brute-force top-k, and because ivf_topk re-ranks
+    candidates by TRUE cosine, perfect recall ⇒ output == exact answer.
+    (n_cells=8, n_probe=6) measures recall 1.0 on this fixture (VERDICT
+    r4 #3; sf0.01 embeddings are near-uniform, so wide probing is needed
+    — sweep: 4/16→0.53, 12/16→0.93, 6/8→1.0), turning the former
+    rows-only row into a full hash check: a quantizer-assignment, probe,
+    or re-rank bug drops a true neighbor and breaks the hash. The
+    n_probe ≪ n_cells scale regime stays covered by pytest
+    (recall/balance/determinism, test_dedup_similarity)."""
     from commoncrawl_fetcher_lite_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -606,7 +686,7 @@ def q_ivf_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return ivf_topk(
-        q, emb, k=3, n_cells=16, n_probe=4, quantizer="kmeans"
+        q, emb, k=3, n_cells=8, n_probe=6, quantizer="kmeans"
     ).select("query_id", "neighbor_id", "rank")
 
 
@@ -858,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": q_host_quota,
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_bucketed": q_urlseen_bucketed,
+        "crawl_iteration": q_crawl_iteration,
         "frontier_schedule": q_frontier_schedule,
         "frontier_schedule_diet": q_frontier_schedule_diet,
         "dedup_exact": q_dedup_exact,
@@ -1030,6 +1111,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 3
         """,
+        # exact brute-force top-k: valid as the k-means IVF oracle because
+        # the engine re-ranks by true cosine and (n_cells=8, n_probe=6)
+        # achieves recall 1.0 on this fixture — see q_ivf_ann_kmeans
+        "ivf_ann_kmeans": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, n AS qn
+                  FROM emb WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6)
+                           AS cos
+                FROM q CROSS JOIN emb e
+                WHERE e.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC)
+                             AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
         "mime_count": f"""
             WITH cdx AS ({_CDX_VIEW_SQL})
             SELECT mime,
@@ -1084,6 +1190,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_custkey % 4 <> 1)
+        """,
+        "crawl_iteration": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR)
+                           AS url,
+                       'host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com' AS host,
+                       user_id % 20 AS hk,
+                       '/e/' || CAST(event_id AS VARCHAR) AS path,
+                       value + event_id * 1e-9 AS priority
+                FROM events),
+            allowed AS (
+                SELECT url, host, priority FROM seeds
+                WHERE NOT (hk % 2 = 0 AND starts_with(path, '/e/1')
+                           AND NOT starts_with(path, '/e/13'))),
+            -- iteration 1: fresh buckets, avail = burst+rate*dt = 40,
+            -- quota = least(100, floor(40)) = 40
+            r1 AS (
+                SELECT url, host, priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url ASC) AS host_rank
+                FROM allowed),
+            b1 AS (SELECT url, host, host_rank FROM r1 WHERE host_rank <= 40),
+            n1 AS (SELECT host, count(*) AS n FROM b1 GROUP BY host),
+            -- iteration 2: frontier -= b1 (== seen filter, b1 is now seen);
+            -- avail = least(40, (40 - n) + 30), fresh hosts least(40, 10+30)
+            rem AS (
+                SELECT a.url, a.host, a.priority FROM allowed a
+                WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.url = a.url)),
+            q2 AS (
+                SELECT host,
+                       CAST(least(100, floor(least(40.0,
+                            coalesce(40.0 - n, 10.0) + 30.0))) AS INT) AS quota
+                FROM (SELECT DISTINCT host FROM rem) h LEFT JOIN n1 USING (host)),
+            r2 AS (
+                SELECT url, host, priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url ASC) AS host_rank
+                FROM rem),
+            b2 AS (SELECT r2.url, r2.host, r2.host_rank FROM r2
+                   JOIN q2 USING (host) WHERE host_rank <= q2.quota)
+            SELECT CAST(1 AS INT) AS iter, url, host,
+                   CAST(host_rank AS INT) AS host_rank FROM b1
+            UNION ALL
+            SELECT CAST(2 AS INT) AS iter, url, host,
+                   CAST(host_rank AS INT) AS host_rank FROM b2
         """,
         "frontier_schedule": """
             WITH seeds AS (

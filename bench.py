@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "frontier_schedule",
     "frontier_schedule_compact",
+    # the full two-iteration scheduler loop through a real SnapshotStore
+    # (robots -> seen -> token bucket -> top-k -> MoR commit), timed
+    # end-to-end including the snapshot writes
+    "crawl_iteration",
 ]
 
 

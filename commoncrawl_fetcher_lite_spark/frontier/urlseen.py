@@ -302,10 +302,3 @@ def filter_unseen_blocked(
     return negatives.unionByName(positives.join(seen_kv, keys, "left_anti"))
 
 
-def update_seen(
-    seen: DataFrame, newly_fetched: DataFrame, url_col: str = "url"
-) -> DataFrame:
-    add = with_url_hash(newly_fetched.select(F.col(url_col).alias("url")))
-    return seen.unionByName(add.select("url_hash", "url")).dropDuplicates(
-        ["url_hash", "url"]
-    )

@@ -41,7 +41,3 @@ def sha1_base32(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return _sha1_base32_udf(c)
 
-
-def sha1_base32_py(payload: bytes) -> str:
-    """Driver/oracle twin."""
-    return base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")

@@ -83,19 +83,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def lsh_signature(vec_col: str | Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as int (n_planes ≤ 31): bit_p = dot(v, plane_p)>0."""
-    bits = []
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (_dot(vec_col, lit_plane) > 0).cast("int")
-        bits.append(bit * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def _bucket_frame_fn(n_planes: int, n_rotations: int, dim: int, seed: int):
     """Returns buckets(df, vec, keep) -> DataFrame exploding every row into
     its (rot, bucket) LSH cells for the seeded hyperplane family.

@@ -7,8 +7,18 @@ time. The point on file: write volume tracks the BATCH (O(batch)), not the
 seen set (O(state)) — the round-2 design rewrote urlseen+frontier fully
 every iteration, so its per-iteration bytes grew with the seen set.
 
+Round-4 extension (VERDICT r4 #6): the 100 TB resumability story rests on
+the PLATEAU, not the mechanism — so with INC_GC_KEEP>0 the loop also runs
+`expire_snapshots(keep_last)` every iteration (compaction stays on via
+compact_every) and reports, per iteration, the store's total on-disk bytes
+and live snap-dir count. Over ~50 iterations all three curves must go
+flat: per-iteration bytes_written (O(batch)), frontier read-amplification
+(sawtooth bounded by compact_every), and disk_bytes/snap_dirs (bounded by
+keep_last × segment sizes across compaction cycles).
+
 Usage: python incremental_bench.py  [env: INC_SEEDS (default 500k),
-INC_ITERS (default 6), INC_CPUS (default 8)]
+INC_ITERS (default 6), INC_CPUS (default 8), INC_GC_KEEP (default 0=off),
+INC_HOSTS (default 2000), INC_PER_BATCH (default 40)]
 Prints one JSON line per iteration + a summary line.
 """
 
@@ -26,6 +36,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_SEEDS = int(os.environ.get("INC_SEEDS", "500000"))
 ITERS = int(os.environ.get("INC_ITERS", "6"))
 CPUS = int(os.environ.get("INC_CPUS", "8"))
+GC_KEEP = int(os.environ.get("INC_GC_KEEP", "0"))
+N_HOSTS = int(os.environ.get("INC_HOSTS", "2000"))
+PER_BATCH = int(os.environ.get("INC_PER_BATCH", "40"))
+
+
+def _du(root: str) -> tuple[int, int]:
+    """(total bytes under root, count of snap= dirs)."""
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    snaps = sum(1 for e in os.listdir(root) if e.startswith("snap="))
+    return total, snaps
 
 
 def main() -> None:
@@ -47,25 +73,25 @@ def main() -> None:
         seeds = spark.range(N_SEEDS).select(
             F.concat(
                 F.lit("https://host"),
-                (F.col("id") % 2000).cast("string"),
+                (F.col("id") % N_HOSTS).cast("string"),
                 F.lit(".example.com/p/"),
                 F.col("id").cast("string"),
             ).alias("url"),
             F.concat(
                 F.lit("host"),
-                (F.col("id") % 2000).cast("string"),
+                (F.col("id") % N_HOSTS).cast("string"),
                 F.lit(".example.com"),
             ).alias("host"),
             (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("priority"),
             F.lit(None).cast("timestamp").alias("discovered_ts"),
             F.lit(0.0).alias("recrawl_score"),
         )
-        # ~40 URLs/host/iteration x 2000 hosts ≈ 80k scheduled per batch
+        # ~PER_BATCH URLs/host/iteration x N_HOSTS hosts scheduled per batch
         cfg = FrontierConfig(
             n_salt=8,
-            default_tokens_per_sec=4.0,
+            default_tokens_per_sec=PER_BATCH / 10.0,
             default_burst=0,
-            default_max_per_batch=40,
+            default_max_per_batch=PER_BATCH,
         )
         store = SnapshotStore(root, spark, compact_every=8)
         bootstrap(store, seeds)
@@ -73,7 +99,10 @@ def main() -> None:
         for _ in range(ITERS):
             t0 = time.perf_counter()
             res = run_iteration(store, cfg, batch_seconds=10.0)
+            if GC_KEEP > 0:
+                store.expire_snapshots(keep_last=GC_KEEP)
             dt = time.perf_counter() - t0
+            disk_bytes, snap_dirs = _du(root)
             meta = store.manifest()["snapshots"][str(res.snapshot)]
             fr = meta["tables"]["frontier"]
             row = {
@@ -93,6 +122,8 @@ def main() -> None:
                 "frontier_read_amplification": fr.get(
                     "read_amplification", 1.0
                 ),
+                "disk_bytes": disk_bytes,
+                "snap_dirs": snap_dirs,
                 "sec": round(dt, 2),
             }
             rows.append(row)
@@ -101,12 +132,27 @@ def main() -> None:
                 break
         grow = rows[-1]["seen_total"] / max(rows[0]["seen_total"], 1)
         io_grow = rows[-1]["bytes_written"] / max(rows[0]["bytes_written"], 1)
+        half = len(rows) // 2
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         print(
             json.dumps(
                 {
                     "summary": "bytes_written tracks batch, not seen set",
                     "seen_growth_x": round(grow, 2),
                     "bytes_growth_x": round(io_grow, 2),
+                    # plateau evidence (VERDICT r4 #6): second-half medians
+                    # vs first-half — flat curves stay ~1.0x even as the
+                    # seen set keeps growing linearly
+                    "disk_bytes_plateau_x": round(
+                        med([r["disk_bytes"] for r in rows[half:]])
+                        / max(med([r["disk_bytes"] for r in rows[:half]]), 1),
+                        2,
+                    ),
+                    "read_amp_max": max(
+                        r["frontier_read_amplification"] for r in rows
+                    ),
+                    "snap_dirs_max": max(r["snap_dirs"] for r in rows),
+                    "gc_keep": GC_KEEP,
                     "iters": len(rows),
                     "n_seeds": N_SEEDS,
                 }

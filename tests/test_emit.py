@@ -71,3 +71,29 @@ def test_redirect_frontier_merge(spark, tmp_path):
     frontier = {r["url"] for r in store.read("frontier").collect()}
     assert "https://b.com/target" in frontier  # redirect joined the frontier
     assert "https://a.com/1" not in frontier  # fetched urls left it
+
+
+def test_emitter_for_precedence(tmp_path):
+    """emitter_for mirrors newEmitter's precedence
+    (ExtractorConfig.java:249-278): s3 kind → s3 emitter with the
+    config's bucket/prefix; anything else → fs emitter at base_path."""
+    from commoncrawl_fetcher_lite_spark.sources.emitters import emitter_for
+
+    class FakeS3:
+        def __init__(self):
+            self.puts = []
+
+        def put_object(self, Bucket, Key, Body):
+            self.puts.append((Bucket, Key, Body))
+
+    client = FakeS3()
+    s3 = emitter_for(
+        EmitConfig(kind="s3", bucket="b", prefix="pre", profile="p"),
+        client=client,
+    )
+    s3("k/file.bin", b"\x01\x02")
+    assert client.puts == [("b", "pre/k/file.bin", b"\x01\x02")]
+
+    fs = emitter_for(EmitConfig(kind="fs", base_path=str(tmp_path)))
+    fs("a/b.bin", b"\x03")
+    assert (tmp_path / "a" / "b.bin").read_bytes() == b"\x03"

@@ -305,3 +305,23 @@ def test_spread_for_compute_never_narrows(spark):
     # narrow inputs still get spread to cluster width
     narrow = wide.coalesce(1)
     assert spread_for_compute(narrow).rdd.getNumPartitions() == default
+
+
+def test_pick_n_buckets_sizing():
+    """Computed bucket-count default (VERDICT r4 #8): ~1 GiB buckets,
+    power-of-two, floor of 8; the 10^10-row crawl target lands at 1024
+    (or 4096 with the ~200 MB buckets the docstring's historical
+    hand-picked example implied)."""
+    from commoncrawl_fetcher_lite_spark.frontier.bucketed import pick_n_buckets
+
+    assert pick_n_buckets(0) == 8
+    assert pick_n_buckets(10_000) == 8  # tiny set -> floor
+    assert pick_n_buckets(10**10) == 1024
+    assert pick_n_buckets(10**10, target_bucket_bytes=200 << 20) == 4096
+    # powers of two only, monotone in n_rows
+    prev = 0
+    for n in (10**6, 10**8, 10**9, 10**10, 10**11):
+        b = pick_n_buckets(n)
+        assert b & (b - 1) == 0
+        assert b >= prev
+        prev = b
