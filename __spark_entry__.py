@@ -724,6 +724,78 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape gates per document — word-count
+    bounds, mean-word-length band, distinct-word fraction, modal-bigram
+    fraction, alphabetic-word fraction, combined pass verdict. Pure
+    Catalyst (bigram mode via sorted-array fold, no shuffle)."""
+    from commoncrawl_fetcher_lite_spark.operators.text import gopher_quality
+
+    g = gopher_quality(_t(spark, sf_dir, "documents"))
+    return g.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("distinct_frac", 4).alias("distinct_frac"),
+        F.round("top2gram_frac", 4).alias("top2gram_frac"),
+        F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        "gopher_pass",
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → training text: documents wrapped in deterministic synthetic
+    HTML (head/title/style/script/comment/entities), then extracted with
+    the pure-Catalyst regexp chain (operators/html.py). The oracle
+    mirrors the exact strip order in RE2."""
+    from commoncrawl_fetcher_lite_spark.operators.html import extract_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ' &amp; Co</title><style>p { color: red; }</style></head>'
+            "<body><!-- header --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var x = "<p>";</script>'
+            '<div class="footer">from '
+        ),
+        F.col("source"),
+        F.lit(" &lt;archived&gt;</div></body></html>"),
+    )
+    return extract_text(docs.select("doc_id", html.alias("html")))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: documents salted with a deterministic email, IPv4,
+    and phone number, then scrubbed by the Catalyst regexp passes
+    (operators/html.py scrub_pii) — output keeps the redaction count."""
+    from commoncrawl_fetcher_lite_spark.operators.html import scrub_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel +1 415 555 "),
+            (F.col("doc_id") + 100000).cast("string"),
+            F.lit(" :: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return scrub_documents(salted)
+
+
 def _seeds_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -939,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlseen_antijoin": q_urlseen_antijoin,
         "urlseen_bucketed": q_urlseen_bucketed,
         "crawl_iteration": q_crawl_iteration,
+        "gopher_quality": q_gopher_quality,
+        "html_extract": q_html_extract,
+        "pii_scrub": q_pii_scrub,
         "frontier_schedule": q_frontier_schedule,
         "frontier_schedule_diet": q_frontier_schedule_diet,
         "dedup_exact": q_dedup_exact,
@@ -1237,6 +1312,117 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(2 AS INT) AS iter, url, host,
                    CAST(host_rank AS INT) AS host_rank FROM b2
+        """,
+        "gopher_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, n),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM base WHERE n >= 2),
+            modal AS (
+                SELECT doc_id, max(cnt) AS best
+                FROM (SELECT doc_id, g, count(*) AS cnt
+                      FROM grams GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            feats AS (
+                SELECT b.doc_id, b.n,
+                       CASE WHEN n > 0 THEN
+                            list_sum(list_transform(t, x -> length(x)))
+                                * 1.0 / n ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN n > 0 THEN
+                            len(list_distinct(t)) * 1.0 / n
+                       ELSE 0.0 END AS distinct_frac,
+                       CASE WHEN n >= 2 THEN
+                            coalesce(m.best, 0) * 1.0 / (n - 1)
+                       ELSE 0.0 END AS top2gram_frac,
+                       CASE WHEN n > 0 THEN
+                            len(list_filter(t,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                                * 1.0 / n ELSE 0.0 END AS alpha_word_frac
+                FROM base b LEFT JOIN modal m USING (doc_id))
+            SELECT doc_id, CAST(n AS INT) AS n_words,
+                   ROUND(mean_word_len, 4) AS mean_word_len,
+                   ROUND(distinct_frac, 4) AS distinct_frac,
+                   ROUND(top2gram_frac, 4) AS top2gram_frac,
+                   ROUND(alpha_word_frac, 4) AS alpha_word_frac,
+                   (n >= 50 AND n <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND distinct_frac >= 0.30
+                    AND top2gram_frac <= 0.20
+                    AND alpha_word_frac >= 0.80) AS gopher_pass
+            FROM feats
+        """,
+        "html_extract": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' &amp; Co</title><style>p { color: red; }</style></head>'
+                       || '<body><!-- header --><h1>Doc '
+                       || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                       || '</p><script type="text/javascript">var x = "<p>";</script>'
+                       || '<div class="footer">from ' || source
+                       || ' &lt;archived&gt;</div></body></html>' AS html
+                FROM documents),
+            stripped AS (
+                SELECT doc_id, html,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(html,
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g'),
+                               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<[^>]*>', ' ', 'g') AS detagged
+                FROM h),
+            decoded AS (
+                SELECT doc_id, html,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               detagged,
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                           '\\s+', ' ', 'g')) AS body
+                FROM stripped)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_extract(html,
+                           '(?is)<title[^>]*>(.*?)</title>', 1),
+                       '\\s+', ' ', 'g')) AS title,
+                   body AS body_text,
+                   CAST(length(body) AS INT) AS n_chars_clean
+            FROM decoded
+        """,
+        "pii_scrub": """
+            WITH salted AS (
+                SELECT doc_id,
+                       'contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || ' tel +1 415 555 '
+                       || CAST(doc_id + 100000 AS VARCHAR)
+                       || ' :: ' || text AS text
+                FROM documents),
+            s3 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                           '\\+?\\b\\d(?:[ .\\-]?\\d){8,14}\\b', '[PHONE]', 'g')
+                           AS t
+                FROM salted)
+            SELECT doc_id, t AS text,
+                   CAST((length(t) - length(replace(t, '[EMAIL]', ''))) / 7
+                      + (length(t) - length(replace(t, '[IP]', ''))) / 4
+                      + (length(t) - length(replace(t, '[PHONE]', ''))) / 7
+                        AS INT) AS n_redactions
+            FROM s3
         """,
         "frontier_schedule": """
             WITH seeds AS (

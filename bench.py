@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     # (robots -> seen -> token bucket -> top-k -> MoR commit), timed
     # end-to-end including the snapshot writes
     "crawl_iteration",
+    # scan-side text-prep additions (pure Catalyst, map-only)
+    "gopher_quality",
+    "html_extract",
+    "pii_scrub",
 ]
 
 

@@ -1,0 +1,133 @@
+"""HTML → training-text extraction and PII scrubbing (SURVEY §8 scope).
+
+The reference stops at emitting raw WARC payload bytes
+(ExtractRecordProcessor — see sources/warc.py citations); a training-data
+pipeline's next step is turning those HTML payloads into clean text and
+redacting obvious PII before dedup/quality gates. Both operators here are
+pure Catalyst regexp chains — they run inside whole-stage codegen over a
+100 TB scan with zero Python, no UDFs, and compose with the corpus_clean
+gates downstream.
+
+Honest scope: this is a boilerplate-light extractor (tag/script/style/
+comment strip + entity decode + whitespace collapse), the regex-grade
+treatment matching trafilatura's fallback path — not a DOM parser. A
+DOM-grade extractor (readability/trafilatura) would slot in through the
+same batched-scorer seam as operators/text.py's model scorers; the
+Catalyst path is the default because it needs no library and keeps the
+scan JVM-side.
+
+Regex compatibility: every pattern used here is valid and equivalent in
+Java regex (Spark) and RE2 (DuckDB) — (?is) flags, non-greedy .*?, \\b —
+so the driver oracle can mirror the exact semantics in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# strip order matters: comments/script/style bodies may contain '<' that
+# the bare-tag pass would mis-split on; entity decode runs AFTER tag
+# removal so '&lt;p&gt;' in text does not become a strippable tag.
+_RE_COMMENT = r"(?s)<!--.*?-->"
+_RE_HEAD = r"(?is)<head\b[^>]*>.*?</head>"
+_RE_SCRIPT = r"(?is)<script\b[^>]*>.*?</script>"
+_RE_STYLE = r"(?is)<style\b[^>]*>.*?</style>"
+_RE_TAG = r"(?s)<[^>]*>"
+_RE_WS = r"\s+"
+_RE_TITLE = r"(?is)<title[^>]*>(.*?)</title>"
+
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last: '&amp;lt;' decodes to '&lt;' not '<'
+]
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML document as one whitespace-normalized
+    string: comments, the whole <head> block (title/meta are metadata,
+    not body text — html_title reads the raw column), any stray
+    script/style blocks, and tags removed (tags become spaces so
+    'a</p><p>b' stays two words), the six ubiquitous entities decoded,
+    whitespace collapsed, trimmed."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, _RE_COMMENT, " ")
+    c = F.regexp_replace(c, _RE_HEAD, " ")
+    c = F.regexp_replace(c, _RE_SCRIPT, " ")
+    c = F.regexp_replace(c, _RE_STYLE, " ")
+    c = F.regexp_replace(c, _RE_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, _RE_WS, " "))
+
+
+def html_title(html: Column | str) -> Column:
+    """Contents of the first <title> element, whitespace-normalized;
+    empty string when absent (regexp_extract's no-match value)."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.trim(F.regexp_replace(F.regexp_extract(c, _RE_TITLE, 1), _RE_WS, " "))
+
+
+def extract_text(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, title, body_text, n_chars_clean) for each HTML document —
+    the scan-side projection a WARC-extract output feeds into the text
+    quality/dedup gates."""
+    body = html_to_text(html_col)
+    return docs.select(
+        F.col(id_col),
+        html_title(html_col).alias("title"),
+        body.alias("body_text"),
+        F.length(body).alias("n_chars_clean"),
+    )
+
+
+# PII patterns — deliberately high-precision/checkable shapes (emails,
+# IPv4, E.164-ish phone runs). Real deployments layer model-based NER on
+# top; these regex passes are the always-on floor and the only part that
+# belongs in the JVM scan.
+_RE_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# 9-15 digit runs with optional +country and -/space/dot separators,
+# \b-anchored on both ends (no lookarounds — RE2/DuckDB lacks them, and
+# \b is the oracle-expressible equivalent for alnum neighbors)
+_RE_PHONE = r"\+?\b\d(?:[ .\-]?\d){8,14}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and international-format phone
+    numbers with bracketed placeholder tokens. Email runs first so its
+    digits cannot be half-eaten by the phone pass; IP before phone so
+    dotted quads do not match the dotted-phone shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, _RE_EMAIL, "[EMAIL]")
+    c = F.regexp_replace(c, _RE_IPV4, "[IP]")
+    c = F.regexp_replace(c, _RE_PHONE, "[PHONE]")
+    return c
+
+
+def scrub_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, scrubbed text, n_redactions) — redaction count lets a
+    pipeline route PII-dense documents to review instead of training."""
+    scrubbed = scrub_pii(text_col)
+    n_red = (
+        F.length(scrubbed)
+        - F.length(F.replace(scrubbed, F.lit("[EMAIL]"), F.lit("")))
+    ) / F.lit(7) + (
+        F.length(scrubbed) - F.length(F.replace(scrubbed, F.lit("[IP]"), F.lit("")))
+    ) / F.lit(4) + (
+        F.length(scrubbed)
+        - F.length(F.replace(scrubbed, F.lit("[PHONE]"), F.lit("")))
+    ) / F.lit(7)
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("text"),
+        n_red.cast("int").alias("n_redactions"),
+    )

@@ -243,3 +243,106 @@ def fingerprints(
         .withColumnRenamed("mn", "min_fingerprint")
         .where(F.col("n_fingerprints") > 0)
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_distinct_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    min_alpha_word_frac: float = 0.80,
+) -> DataFrame:
+    """Gopher/C4-style repetition and shape gates (Rae et al. 2021 §A1.1
+    thresholds where they transfer; the repetition rule here is the
+    bigram variant): per document — word count bounds, mean word length
+    band, distinct-word fraction, most-common-bigram fraction, and the
+    fraction of words containing an alphabetic character — plus the
+    combined `gopher_pass` verdict.
+
+    Everything is ONE let-bound token array evaluated once per row, pure
+    Catalyst (the bigram mode is computed by sorting the bigram array and
+    folding the longest equal-run with F.aggregate — no explode, no
+    groupBy, no shuffle: at 100 TB this stays a map-only scan stage).
+    top2gram_frac is the modal bigram's share of bigram OCCURRENCES
+    (best/(n-1)), not Gopher's character-coverage share — documented
+    divergence, identical gating intent, SQL-expressible for the oracle.
+    """
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    t = F.col(text_col)
+
+    def _feats(toks):
+        n = F.size(toks)
+        mean_len = F.when(
+            n > 0,
+            F.aggregate(
+                toks, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n,
+        ).otherwise(F.lit(0.0))
+        distinct_frac = F.when(
+            n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+        ).otherwise(F.lit(0.0))
+        alpha_frac = F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast(
+                "double"
+            )
+            / n,
+        ).otherwise(F.lit(0.0))
+        # bigrams: zip toks with its own tail; concat nulls out the
+        # padded last slot, filter drops it
+        grams = F.array_sort(
+            F.filter(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                lambda g: g.isNotNull(),
+            )
+        )
+        # longest equal-run in the sorted bigram list == modal count
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def _step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(grams, zero, _step, lambda acc: acc["best"])
+        top2 = F.when(
+            n >= 2, best.cast("double") / (n - 1).cast("double")
+        ).otherwise(F.lit(0.0))
+        gate = (
+            (n >= min_words)
+            & (n <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (distinct_frac >= min_distinct_frac)
+            & (top2 <= max_top2gram_frac)
+            & (alpha_frac >= min_alpha_word_frac)
+        )
+        return F.struct(
+            n.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            distinct_frac.alias("distinct_frac"),
+            top2.alias("top2gram_frac"),
+            alpha_frac.alias("alpha_word_frac"),
+            gate.alias("gopher_pass"),
+        )
+
+    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
+    return docs.select(
+        id_col, F.inline(F.array(let(toks_expr, _feats)))
+    )

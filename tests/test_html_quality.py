@@ -1,0 +1,116 @@
+"""HTML extraction, PII scrubbing, and Gopher-style quality gates
+(operators/html.py, operators/text.py:gopher_quality) — edge semantics the
+driver's corpus-level oracle rows don't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_html_to_text_edges(spark):
+    from commoncrawl_fetcher_lite_spark.operators.html import extract_text
+
+    docs = spark.createDataFrame(
+        [
+            # head (incl. title/style) stripped wholesale; entity decode
+            # AFTER tag strip so &lt;p&gt; stays literal text
+            (
+                1,
+                "<html><head><title>T</title><style>p{}</style></head>"
+                "<body>&lt;p&gt; is a tag &amp;&nbsp;so on</body></html>",
+            ),
+            # script body containing '<' must not desync the tag stripper
+            (2, "<body>a<script>if (x<y) { f('<div>'); }</script>b</body>"),
+            # comments spanning lines; tags become spaces (words split)
+            (3, "x<!-- multi\nline -->y</p><p>z"),
+            (4, "plain text, no markup"),
+            (5, ""),
+            # &amp;lt; decodes to &lt; not < (amp decoded last)
+            (6, "<p>&amp;lt;tag&amp;gt;</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in extract_text(docs).collect()}
+    assert got[1]["body_text"] == "<p> is a tag & so on"
+    assert got[1]["title"] == "T"
+    assert got[2]["body_text"] == "a b"
+    assert got[3]["body_text"] == "x y z"
+    assert got[4]["body_text"] == "plain text, no markup"
+    assert got[5]["body_text"] == "" and got[5]["n_chars_clean"] == 0
+    assert got[6]["body_text"] == "&lt;tag&gt;"
+
+
+def test_scrub_pii_boundaries(spark):
+    from commoncrawl_fetcher_lite_spark.operators.html import scrub_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.b+tag@ex-ample.co.uk wrote"),
+            (2, "at 192.168.0.1 and 8.8.8.8."),
+            (3, "call +44 20 7946 0958 or 415-555-123456"),
+            # NOT phones: short digit runs, years, versions, alnum ids
+            (4, "v1.2.3 in 2026, order 1234, id a123456789012b"),
+            # NOT an ip: 4 octets inside a longer dotted run stay; version
+            # strings with <4 groups untouched
+            (5, "pi is 3.14159 and e is 2.71828"),
+            (6, "mail admin@localhost stays (no TLD)"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_documents(docs).collect()}
+    assert got[1]["text"] == "[EMAIL] wrote" and got[1]["n_redactions"] == 1
+    assert got[2]["text"] == "at [IP] and [IP]." and got[2]["n_redactions"] == 2
+    assert got[3]["text"] == "call [PHONE] or [PHONE]"
+    assert got[4]["text"] == "v1.2.3 in 2026, order 1234, id a123456789012b"
+    assert got[4]["n_redactions"] == 0
+    assert got[5]["text"] == "pi is 3.14159 and e is 2.71828"
+    assert got[6]["text"] == "mail admin@localhost stays (no TLD)"
+
+
+def test_gopher_quality_semantics(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import gopher_quality
+
+    passing = " ".join(f"word{i}al" for i in range(60))  # 60 distinct words
+    docs = spark.createDataFrame(
+        [
+            (1, passing),
+            (2, "the cat " * 40),  # modal bigram dominates
+            (3, ""),  # empty -> all-zero features, fail
+            (4, "12 34 " * 40),  # no alphabetic words
+            (5, "tiny doc"),  # under min_words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["n_words"] == 60 and got[1]["distinct_frac"] == 1.0
+    assert got[2]["gopher_pass"] is False
+    # 'the cat'*40: bigrams 'the cat' x40 + 'cat the' x39 over n-1=79
+    assert abs(got[2]["top2gram_frac"] - 40 / 79) < 1e-9
+    assert got[3]["n_words"] == 0 and got[3]["gopher_pass"] is False
+    assert got[4]["alpha_word_frac"] == 0.0 and got[4]["gopher_pass"] is False
+    assert got[5]["gopher_pass"] is False
+
+
+def test_html_and_gopher_stay_jvm_side(spark):
+    """The extraction/quality scan path must stay whole-stage codegen:
+    no Python eval nodes, no shuffles — map-only over a 100 TB scan."""
+    from commoncrawl_fetcher_lite_spark.operators.html import (
+        extract_text,
+        scrub_documents,
+    )
+    from commoncrawl_fetcher_lite_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [(1, "<p>x</p>"), (2, "<p>y z</p>")], "doc_id long, html string"
+    ).withColumn("text", F.col("html"))
+    for out in (
+        extract_text(docs),
+        scrub_documents(docs),
+        gopher_quality(docs),
+    ):
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
