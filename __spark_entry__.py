@@ -796,6 +796,41 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_documents(salted)
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink discovery: documents wrapped in synthetic HTML carrying an
+    absolute, a root-relative, a protocol-relative, a mailto:, a plain-
+    relative, and a fragment link; extract_links must keep exactly the
+    first three, resolved against the page URL. The oracle derives the
+    expected links ARITHMETICALLY (no regex) — an independent check of
+    the whole extract+resolve path."""
+    from commoncrawl_fetcher_lite_spark.operators.html import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com/dir/page"),
+        d,
+    )
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="https://ext.example.org/a'),
+        d,
+        F.lit('">x</a><a href="/local/'),
+        d,
+        F.lit("\">y</a><a href='//cdn.example.net/c"),
+        d,
+        F.lit(
+            "'>z</a><a href=\"mailto:a@b.example\">m</a>"
+            '<a href="page2.html">rel</a><a href="#frag">f</a>'
+            "</body></html>"
+        ),
+    )
+    return extract_links(
+        docs.select("doc_id", html.alias("html"), base.alias("url"))
+    )
+
+
 def _seeds_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -1014,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "html_extract": q_html_extract,
         "pii_scrub": q_pii_scrub,
+        "link_extract": q_link_extract,
         "frontier_schedule": q_frontier_schedule,
         "frontier_schedule_diet": q_frontier_schedule_diet,
         "dedup_exact": q_dedup_exact,
@@ -1423,6 +1459,21 @@ def oracle_sql() -> dict[str, str]:
                       + (length(t) - length(replace(t, '[PHONE]', ''))) / 7
                         AS INT) AS n_redactions
             FROM s3
+        """,
+        "link_extract": """
+            SELECT doc_id,
+                   'https://ext.example.org/a' || CAST(doc_id AS VARCHAR)
+                       AS url
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                   || '.example.com/local/' || CAST(doc_id AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'https://cdn.example.net/c' || CAST(doc_id AS VARCHAR)
+            FROM documents
         """,
         "frontier_schedule": """
             WITH seeds AS (

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "html_extract",
     "pii_scrub",
+    "link_extract",
 ]
 
 

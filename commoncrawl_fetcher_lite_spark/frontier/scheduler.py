@@ -144,25 +144,46 @@ def run_iteration(
     #   frontier −= batch (MOR delete), += redirects (MOR add)
     batch_urls = batch.select("url_hash", "url")
     frontier_adds = None
-    # frontier merge (§2.8): redirect targets discovered by the fetch join
-    # the frontier as fresh candidates (deduped against seen next round;
-    # a target already in the frontier resolves oldest-wins at read)
-    if fetch_fn is not None and "redirect" in fetched.columns:
+    # frontier merge (§2.8): URLs discovered by the fetch join the
+    # frontier as fresh candidates (deduped against seen next round; a
+    # target already in the frontier resolves oldest-wins at read). Two
+    # discovery channels, unioned before one hash+dedup pass:
+    #   redirect  — the reference's only discovery mechanism (3xx target)
+    #   links     — array<string> outlink column (extract_links over the
+    #               fetched HTML), the channel that makes the loop an
+    #               actual crawler; lower priority than redirects so a
+    #               bounded batch prefers confirmed-moved content
+    if fetch_fn is not None and (
+        "redirect" in fetched.columns or "links" in fetched.columns
+    ):
         from commoncrawl_fetcher_lite_spark.functions.urls import host_of
 
-        redirects = (
-            fetched.where(F.col("redirect").isNotNull())
-            .select(F.col("redirect").alias("url"))
+        discovered = None
+        if "redirect" in fetched.columns:
+            discovered = (
+                fetched.where(F.col("redirect").isNotNull())
+                .select(F.col("redirect").alias("url"))
+                .withColumn("priority", F.lit(0.5))
+            )
+        if "links" in fetched.columns:
+            links = (
+                fetched.where(F.col("links").isNotNull())
+                .select(F.explode("links").alias("url"))
+                .withColumn("priority", F.lit(0.4))
+            )
+            discovered = (
+                links if discovered is None else discovered.unionByName(links)
+            )
+        discovered = (
+            # deterministic dedup across channels: a URL that is both a
+            # redirect target and a link keeps the redirect's priority
+            discovered.groupBy("url")
+            .agg(F.max("priority").alias("priority"))
             .withColumn("host", host_of(F.col("url")))
-            .withColumn("priority", F.lit(0.5))
             .withColumn("discovered_ts", F.lit(None).cast("timestamp"))
             .withColumn("recrawl_score", F.lit(0.0))
         )
-        frontier_adds = (
-            with_url_hash(redirects)
-            .select(*frontier.columns)
-            .dropDuplicates(["url_hash", "url"])
-        )
+        frontier_adds = with_url_hash(discovered).select(*frontier.columns)
 
     tables = {"batch": batch_urls}
     if fetch_fn is not None:

@@ -131,3 +131,51 @@ def scrub_documents(
         scrubbed.alias("text"),
         n_red.cast("int").alias("n_redactions"),
     )
+
+
+# href values from <a> tags; group 1 is the raw link. Lazy [^>]*? keeps
+# the scan inside one tag; fragments-only links excluded by [^"'#>].
+_RE_HREF = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'#>]+)["']"""
+
+
+def extract_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, url) — one row per DISTINCT resolved outlink of each page:
+    the crawl loop's link-discovery stage (run_iteration feeds these back
+    into the frontier, where the existing seen anti-join dedupes).
+
+    Resolution is the subset a crawler meets overwhelmingly often, all
+    pure Catalyst: absolute http(s) kept as-is, protocol-relative //
+    prefixed with the base URL's scheme, root-relative / prefixed with
+    scheme://host, and everything else — other schemes (mailto:,
+    javascript:, ftp:) and non-root relative paths (page.html, ../x) —
+    dropped rather than resolved wrong. Honest scope cut, documented
+    here; a full RFC 3986 resolver would be a mapInPandas stage on the
+    same frame.
+
+    Scale note: this is a generator (explode) on the map side — no
+    shuffle here; the fanout lands in the frontier merge where
+    dedup/politeness already bound it."""
+    base = F.col(base_col)
+    scheme = F.regexp_extract(base, r"^(https?):", 1)
+    origin = F.concat(scheme, F.lit("://"), F.regexp_extract(base, r"^https?://([^/]+)", 1))
+    raw = F.array_distinct(
+        F.regexp_extract_all(F.col(html_col), F.lit(_RE_HREF), 1)
+    )
+    resolved = F.transform(
+        raw,
+        lambda l: F.when(l.rlike("^https?://"), l)
+        .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+        .when(l.startswith("/"), F.concat(origin, l))
+        .otherwise(F.lit(None)),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))).alias("url"),
+        )
+    )

@@ -114,3 +114,84 @@ def test_html_and_gopher_stay_jvm_side(spark):
         )
         assert "Exchange" not in plan, plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_links_resolution(spark):
+    from commoncrawl_fetcher_lite_spark.operators.html import extract_links
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://a.example.com/dir/p",
+                '<a href="https://b.example.org/x">1</a>'
+                '<a href="/root/y">2</a>'
+                "<a href='//cdn.example.net/z'>3</a>"
+                '<a href="mailto:x@y.example">4</a>'
+                '<a href="rel/page.html">5</a>'
+                '<a href="#frag">6</a>'
+                '<a href="javascript:void(0)">7</a>'
+                '<a href="/root/y">dup</a>',
+            ),
+            (2, "http://h.example.com/", '<a href="//s.example.com/q">p</a>'),
+            (3, "https://e.example.com/", "no links here"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    got = sorted(
+        (r["doc_id"], r["url"]) for r in extract_links(docs).collect()
+    )
+    assert got == sorted(
+        [
+            (1, "https://b.example.org/x"),
+            (1, "https://cdn.example.net/z"),
+            (1, "https://a.example.com/root/y"),
+            # protocol-relative inherits the page's actual scheme (http)
+            (2, "http://s.example.com/q"),
+        ]
+    )
+
+
+def test_link_discovery_feeds_frontier(spark, tmp_path):
+    """run_iteration with a fetch_fn emitting a `links` column: the
+    discovered outlinks must join the frontier and be schedulable in the
+    next iteration, while already-fetched URLs leave it; a URL that is
+    both a redirect target and a link keeps the redirect priority."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+
+    seeds = spark.createDataFrame(
+        [("https://a.example.com/1", "a.example.com", 1.0, None, 0.0)],
+        "url string, host string, priority double, "
+        "discovered_ts timestamp, recrawl_score double",
+    )
+    store = SnapshotStore(str(tmp_path / "snap"), spark)
+    scheduler.bootstrap(store, seeds)
+
+    def fetch(batch):
+        return batch.select(
+            "url",
+            F.lit("https://a.example.com/moved").alias("redirect"),
+            F.array(
+                F.lit("https://a.example.com/link1"),
+                F.lit("https://b.example.com/link2"),
+                F.lit("https://a.example.com/moved"),  # also the redirect
+            ).alias("links"),
+        )
+
+    cfg = FrontierConfig(default_burst=10, default_max_per_batch=10)
+    scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    frontier = {
+        r["url"]: r["priority"] for r in store.read("frontier").collect()
+    }
+    assert "https://a.example.com/1" not in frontier  # fetched -> left
+    assert frontier["https://a.example.com/link1"] == 0.4
+    assert frontier["https://b.example.com/link2"] == 0.4
+    assert frontier["https://a.example.com/moved"] == 0.5  # redirect wins
+
+    # next iteration schedules the discovered urls (no fetch this time)
+    res = scheduler.run_iteration(store, cfg, batch_seconds=1.0)
+    assert res.n_scheduled == 3
