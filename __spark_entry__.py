@@ -724,6 +724,50 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level near-dup pairs: documents sharing >= 3 winnowed
+    5-gram fingerprints (shared token spans), with a df<=50
+    stop-fingerprint cap killing the boilerplate quadratic blowup before
+    the self-join. Every 25th document gets a suffix-mutated twin (same
+    trick as decontaminate's synthetic benchmark) so the row always has
+    known-positive pairs; the scheme also surfaces the fixture's natural
+    near-dups."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import duplicate_span_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin suffix tokens")).alias("text"),
+    )
+    return duplicate_span_pairs(
+        docs.unionByName(twins), n=5, stride=4, min_shared=3, max_df=50
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: global token offset of every document
+    in the concatenated corpus stream (distributed two-pass prefix sum —
+    no single-partition window) plus the 512-token context windows it
+    spans."""
+    from commoncrawl_fetcher_lite_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence rollup of pack_sequences: which documents
+    feed each 512-token context window (straddling docs explode over
+    their bounded seq range)."""
+    from commoncrawl_fetcher_lite_spark.operators.packing import (
+        pack_sequences,
+        shard_manifest,
+    )
+
+    return shard_manifest(
+        pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1080,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "bpe_token_count": q_bpe_token_count,
+        "duplicate_spans": q_duplicate_spans,
+        "pack_sequences": q_pack_sequences,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -1744,6 +1791,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(fp) AS n_fingerprints,
                    list_aggregate(fp, 'min') AS min_fingerprint
             FROM w WHERE len(fp) > 0
+        """,
+        "duplicate_spans": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id,
+                       text || ' twin suffix tokens' AS text
+                FROM documents WHERE doc_id % 25 = 0),
+            tk AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM corpus),
+            g AS (SELECT doc_id,
+                         list_transform(
+                             range(1, greatest(len(w) - 4, 0) + 1),
+                             i -> md5(array_to_string(w[i:i+4], ' '))) AS gh
+                  FROM tk),
+            f AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, greatest(len(gh) - 3, 0) + 1),
+                             i -> list_aggregate(gh[i:i+3], 'min'))) AS fp
+                  FROM g),
+            e AS (SELECT doc_id, unnest(fp) AS f FROM f),
+            keep AS (SELECT f FROM e GROUP BY f
+                     HAVING count(*) >= 2 AND count(*) <= 50),
+            pe AS (SELECT e.doc_id, e.f FROM e JOIN keep ON e.f = keep.f)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS n_shared
+            FROM pe a JOIN pe b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        """,
+        "pack_sequences": r"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_split_to_array(trim(text), '\s+'))
+                                  AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens AS BIGINT) AS "offset"
+                  FROM t WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS seq_first,
+                   ("offset" + n_tokens - 1) // 512 AS seq_last
+            FROM c
+        """,
+        "shard_manifest": r"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_split_to_array(trim(text), '\s+'))
+                                  AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens AS BIGINT) AS "offset"
+                  FROM t WHERE n_tokens > 0),
+            p AS (SELECT doc_id, "offset" // 512 AS s0,
+                         ("offset" + n_tokens - 1) // 512 AS s1
+                  FROM c),
+            e AS (SELECT doc_id, unnest(generate_series(s0, s1)) AS seq_id
+                  FROM p)
+            SELECT seq_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM e GROUP BY seq_id
         """,
         "lang_id": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "html_extract",
     "pii_scrub",
     "link_extract",
+    # training-shard prep: passage-level dedup + distributed prefix-sum
+    # sequence packing
+    "duplicate_spans",
+    "pack_sequences",
+    "shard_manifest",
 ]
 
 

@@ -245,6 +245,61 @@ def fingerprints(
     )
 
 
+def fingerprint_set(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    stride: int = 4,
+) -> DataFrame:
+    """Exploded MOSS-style winnowing fingerprints: md5 each `n`-token
+    gram, take the min over each window of `stride` consecutive gram
+    hashes, one (id, fp) row per DISTINCT min per document. Feeds
+    passage-level dedup (`dedup.duplicate_span_pairs`): documents
+    sharing many fingerprints share long token spans even when their
+    minhash/simhash whole-document signatures diverge.
+
+    NOTE the unit hashed is the full n-gram (Schleimer et al. 2003
+    winnowing), NOT the single token that :func:`fingerprints` window-mins
+    for its per-doc summary — on small-vocabulary text single-token mins
+    collapse onto the few globally-min token hashes (df ~= corpus size,
+    zero discriminative power), while n-gram hashes stay span-specific.
+    Winnowing guarantees any shared run of >= n+stride-1 tokens yields at
+    least one shared fingerprint, at ~1/stride the density of raw
+    shingles.
+
+    Scale shape: gram hashing + windowing is map-only scan work inside
+    whole-stage codegen; the output frame is skinny — an id plus a
+    32-char hex hash — so downstream groupBy/join shuffles carry ~40 B
+    rows, not document text."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    fp_arr = let(
+        tokens(text_col),
+        lambda toks: let(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+            lambda grams: F.when(
+                F.size(grams) >= stride,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(grams) - (stride - 1)),
+                        lambda i: F.array_min(F.slice(grams, i, stride)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(fp_arr).alias("fp")
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,116 @@
+"""Sequence packing (operators/packing.py) and passage-level duplicate
+spans (dedup.duplicate_span_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.operators.dedup import duplicate_span_pairs
+from commoncrawl_fetcher_lite_spark.operators.packing import (
+    pack_sequences,
+    shard_manifest,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pack_offsets_contiguous(spark):
+    # token counts 3, 5, 2, 7 -> offsets 0, 3, 8, 10
+    docs = _docs(spark, ["a b c", "a b c d e", "x y", "a b c d e f g"])
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()}
+    assert [rows[i]["offset"] for i in range(4)] == [0, 3, 8, 10]
+    assert [rows[i]["n_tokens"] for i in range(4)] == [3, 5, 2, 7]
+    # doc 0: tokens [0,3) -> seq 0 only; doc 1: [3,8) -> seqs 0-1;
+    # doc 3: [10,17) -> seqs 2-4
+    assert (rows[0]["seq_first"], rows[0]["seq_last"]) == (0, 0)
+    assert (rows[1]["seq_first"], rows[1]["seq_last"]) == (0, 1)
+    assert (rows[3]["seq_first"], rows[3]["seq_last"]) == (2, 4)
+
+
+def test_pack_is_partitioning_independent(spark):
+    """Offsets over many range partitions (most empty at this size) match
+    the serial prefix sum exactly — the two-pass distributed shape cannot
+    depend on where partition bounds land."""
+    texts = [f"tok{i} " * ((i * 7) % 13 + 1) for i in range(200)]
+    docs = _docs(spark, texts).repartition(8)
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in pack_sequences(docs, seq_len=16).collect()
+    }
+    acc = 0
+    for i, t in enumerate(texts):
+        assert got[i] == acc
+        acc += len(t.split())
+
+
+def test_shard_manifest_covers_stream(spark):
+    texts = [f"tok{i} " * ((i * 5) % 11 + 1) for i in range(60)]
+    docs = _docs(spark, texts)
+    packed = pack_sequences(docs, seq_len=8)
+    man = {r["seq_id"]: r for r in shard_manifest(packed).collect()}
+    total = sum(len(t.split()) for t in texts)
+    n_seqs = (total + 7) // 8
+    # every context window in the stream is fed by >=1 doc, none beyond
+    assert sorted(man) == list(range(n_seqs))
+    # sum of per-seq doc memberships == sum of per-doc span widths
+    spans = packed.select(
+        F.sum(F.col("seq_last") - F.col("seq_first") + 1).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["n_docs"] for r in man.values()) == spans
+    # first/last doc ids bracket correctly on the first window
+    assert man[0]["first_doc"] == 0
+
+
+def test_pack_plan_has_no_global_window(spark):
+    """The offset computation must never plan a single-partition window
+    (the naive Window.orderBy(id) formulation) — the whole point of the
+    two-pass prefix sum. The only windows allowed are partitioned by
+    _pid; no Exchange SinglePartition anywhere in the plan."""
+    docs = _docs(spark, [f"w{i} x y z" for i in range(50)])
+    df = pack_sequences(docs, seq_len=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan  # the cumsum window is there...
+    assert "Exchange SinglePartition" not in plan  # ...but never global
+
+
+def test_duplicate_spans_finds_copied_paragraph(spark):
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = [
+        para + " unique one tail here",
+        "different head entirely now " + para,
+        "no overlap with anything else at all whatsoever in this row",
+        "another totally distinct document text goes right here today",
+    ]
+    pairs = duplicate_span_pairs(
+        _docs(spark, texts), n=5, stride=4, min_shared=2, max_df=50
+    ).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(0, 1)]
+    # the 10-token shared paragraph yields 6 shared 5-grams in each doc;
+    # winnowing their hashes collapses to exactly 2 distinct shared
+    # fingerprints (pinned offline with hashlib.md5 — same hex both
+    # engines)
+    assert pairs[0]["n_shared"] == 2
+
+
+def test_duplicate_spans_stop_fingerprint_cap(spark):
+    """A span present in EVERY doc (boilerplate) is df-capped out: no
+    pairs emitted from it, while a rare copied span still pairs."""
+    boiler = "terms of service apply to all pages here"
+    rare = "rare shared span only in two documents exactly"
+    texts = [f"{boiler} filler{i} pad{i} more{i} x{i}" for i in range(20)]
+    texts += [f"{rare} tail one two", f"head extra {rare}"]
+    pairs = duplicate_span_pairs(
+        _docs(spark, texts), n=5, stride=4, min_shared=1, max_df=5
+    ).collect()
+    # boiler-span fingerprints have df=20 > cap (dropped); per-doc filler
+    # grams are df=1 (dropped); only the rare span pairs — its 8 tokens
+    # give one full winnow window -> exactly 1 shared fingerprint
+    # (pinned offline)
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(20, 21)]
+    assert pairs[0]["n_shared"] == 1
