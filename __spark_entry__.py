@@ -768,6 +768,41 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup over 10-token blocks: every
+    block keeps only its first corpus-order occurrence; docs are stitched
+    back from surviving blocks. Suffix-mutated twins of every 25th doc
+    (same trick as duplicate_spans) guarantee real duplicate lines: a
+    twin's full blocks are identical to its source's, so they dedup away
+    and only its tail survives."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin suffix tokens")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / 10).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    lines = corpus.select(
+        "doc_id", F.posexplode(chunks).alias("line_no", "line")
+    )
+    return line_dedup(lines)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised unigram LM score per document (mean negative
+    log-probability under corpus token frequencies) — the order-0
+    KenLM-shaped quality signal."""
+    from commoncrawl_fetcher_lite_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1127,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
         "shard_manifest": q_shard_manifest,
+        "line_dedup": q_line_dedup,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1855,6 +1892,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT seq_id, count(*) AS n_docs, min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM e GROUP BY seq_id
+        """,
+        "line_dedup": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id,
+                       text || ' twin suffix tokens' AS text
+                FROM documents WHERE doc_id % 25 = 0),
+            tk AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM corpus),
+            ln AS (SELECT doc_id, i AS line_no,
+                          array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+                   FROM tk,
+                        unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                            AS t(i)),
+            mk AS (SELECT doc_id, line_no, line,
+                          row_number() OVER (PARTITION BY md5(line)
+                                             ORDER BY doc_id, line_no) AS rn
+                   FROM ln)
+            SELECT doc_id,
+                   coalesce(string_agg(line, ' ' ORDER BY line_no)
+                                FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*) FILTER (WHERE rn = 1) AS n_kept,
+                   count(*) FILTER (WHERE rn <> 1) AS n_dropped
+            FROM mk GROUP BY doc_id
+        """,
+        "unigram_logprob": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_split_to_array(trim(text), '\s+'))
+                                    AS w
+                         FROM documents),
+            freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(c / t)), 6) AS unigram_nll
+            FROM tok JOIN freq USING (w) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "lang_id": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "pack_sequences",
     "shard_manifest",
+    "line_dedup",
+    "unigram_logprob",
 ]
 
 

@@ -325,6 +325,68 @@ def duplicate_span_pairs(
     )
 
 
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2 dropped any three-sentence span occurring more than once in the
+    corpus; this is the same rule at line granularity): every line keeps
+    only its FIRST occurrence in corpus order (doc_id, then position) —
+    later occurrences are dropped — and each document's surviving lines
+    are stitched back in order.
+
+    Input: one row per line (id, position, text) — callers split on
+    whatever "line" means for their corpus (newlines, sentences, fixed
+    token blocks). Output: (doc_id, clean_text, n_kept, n_dropped);
+    documents whose every line was dropped still appear (clean_text '').
+
+    Scale shape: ONE shuffle on md5(line) for the first-occurrence
+    window (a group's buffered rows = that line's duplicate count —
+    bounded by how duplicated the corpus is, spill-able), one shuffle on
+    doc_id for the rebuild. The window carries the line text because the
+    rebuild needs it anyway — there is no second pass to fetch payloads.
+    Keyed on the 128-bit md5, not the raw line, so hot-line group
+    routing cost doesn't scale with line length.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(line_col))).orderBy(
+        F.col(id_col), F.col(pos_col)
+    )
+    marked = lines.withColumn("_rn", F.row_number().over(w))
+    return (
+        marked.groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(
+                                    F.col(pos_col).alias("p"),
+                                    F.col(line_col).alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_rn") != 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 # -------------------------------------------------------- decontamination
 
 

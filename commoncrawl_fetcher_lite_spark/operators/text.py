@@ -300,6 +300,47 @@ def fingerprint_set(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-supervised unigram language-model score: train the unigram
+    model on the corpus itself (token frequency / corpus total), then
+    score each document by its mean negative log-probability. High NLL =
+    token distribution unlike the corpus (gibberish, foreign text,
+    boilerplate symbol soup) — the KenLM-shaped quality signal
+    (CCNet/Wenzek et al. 2020 rank by LM perplexity; this is its
+    order-0 version, with the model-scorer seam available when a real
+    LM can be shipped).
+
+    Output: (doc_id, n_tokens, unigram_nll).
+
+    Scale shape: token explode is map-only; the frequency table is ONE
+    groupBy(token) where map-side partial aggregation does the heavy
+    lifting (tokens repeat — combiners shrink zipfian input massively);
+    the score join re-shuffles tokens on the same key (exchange reuse),
+    then one groupBy(doc_id). Window-count-over-token is deliberately
+    NOT used here: hot tokens ('the') would buffer corpus-sized window
+    groups, while partial agg never materializes a group."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("unigram_nll"),
+        )
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     text_col: str = "text",

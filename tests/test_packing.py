@@ -1,15 +1,22 @@
-"""Sequence packing (operators/packing.py) and passage-level duplicate
-spans (dedup.duplicate_span_pairs)."""
+"""Training-shard prep operators: sequence packing (operators/packing.py),
+passage-level duplicate spans, C4-style line dedup
+(dedup.duplicate_span_pairs / line_dedup), unigram LM scoring."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
-from commoncrawl_fetcher_lite_spark.operators.dedup import duplicate_span_pairs
+from commoncrawl_fetcher_lite_spark.operators.dedup import (
+    duplicate_span_pairs,
+    line_dedup,
+)
 from commoncrawl_fetcher_lite_spark.operators.packing import (
     pack_sequences,
     shard_manifest,
 )
+from commoncrawl_fetcher_lite_spark.operators.text import unigram_logprob
 
 
 def _docs(spark, texts):
@@ -96,6 +103,54 @@ def test_duplicate_spans_finds_copied_paragraph(spark):
     # fingerprints (pinned offline with hashlib.md5 — same hex both
     # engines)
     assert pairs[0]["n_shared"] == 2
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    lines = spark.createDataFrame(
+        [
+            (0, 0, "the quick brown fox"),
+            (0, 1, "unique line alpha"),
+            (1, 0, "the quick brown fox"),  # dup of doc0 line0 -> dropped
+            (1, 1, "unique line beta"),
+            (2, 0, "the quick brown fox"),  # doc entirely duplicated
+        ],
+        "doc_id long, line_no long, line string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(lines).collect()}
+    assert rows[0]["clean_text"] == "the quick brown fox unique line alpha"
+    assert (rows[0]["n_kept"], rows[0]["n_dropped"]) == (2, 0)
+    assert rows[1]["clean_text"] == "unique line beta"
+    assert (rows[1]["n_kept"], rows[1]["n_dropped"]) == (1, 1)
+    # fully-duplicated doc still appears, empty
+    assert rows[2]["clean_text"] == ""
+    assert (rows[2]["n_kept"], rows[2]["n_dropped"]) == (0, 1)
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    """A line repeated INSIDE one document also keeps only its first
+    occurrence (C4 drops any later occurrence, same doc or not)."""
+    lines = spark.createDataFrame(
+        [(0, 0, "repeat me"), (0, 1, "middle"), (0, 2, "repeat me")],
+        "doc_id long, line_no long, line string",
+    )
+    r = line_dedup(lines).collect()[0]
+    assert r["clean_text"] == "repeat me middle"
+    assert (r["n_kept"], r["n_dropped"]) == (2, 1)
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # freqs: a=2, b=2, c=1, total=5
+    nll0 = -(3 * math.log(2 / 5)) / 3
+    nll1 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+    assert abs(rows[0]["unigram_nll"] - nll0) < 1e-6
+    assert abs(rows[1]["unigram_nll"] - nll1) < 1e-6
+    # rarer tokens -> higher NLL
+    assert rows[1]["unigram_nll"] > rows[0]["unigram_nll"]
 
 
 def test_duplicate_spans_stop_fingerprint_cap(spark):
