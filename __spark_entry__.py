@@ -803,6 +803,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per language: doc count, total/mean token
+    counts, exact p50/p90/p99 token-count percentiles."""
+    from commoncrawl_fetcher_lite_spark.operators.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1164,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "line_dedup": q_line_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1930,6 +1939,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(c / t)), 6) AS unigram_nll
             FROM tok JOIN freq USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "corpus_stats": r"""
+            WITH t AS (SELECT lang,
+                              len(regexp_split_to_array(trim(text), '\s+'))
+                                  AS n_tokens
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+            FROM t GROUP BY lang
         """,
         "lang_id": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

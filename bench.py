@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "line_dedup",
     "unigram_logprob",
+    "corpus_stats",
 ]
 
 

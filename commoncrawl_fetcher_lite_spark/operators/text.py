@@ -341,6 +341,32 @@ def unigram_logprob(
     )
 
 
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Dataset-card statistics per group (default: language): document
+    count, total/mean token counts, and exact p50/p90/p99 token-count
+    percentiles — the reporting block every corpus release ships.
+
+    Exact percentile (not approx_percentile) is deliberate and
+    scale-safe HERE: Spark's percentile aggregate buffers a value→count
+    map per group, and token counts have bounded cardinality (~10^5
+    distinct values regardless of corpus size), so the map stays tiny at
+    100 TB. For unbounded-cardinality metrics (floating scores), swap in
+    approx_percentile."""
+    base = docs.select(*group_cols, token_count(text_col).alias("n_tokens"))
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 6).alias("p99_tokens"),
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     text_col: str = "text",

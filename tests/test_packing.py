@@ -16,7 +16,10 @@ from commoncrawl_fetcher_lite_spark.operators.packing import (
     pack_sequences,
     shard_manifest,
 )
-from commoncrawl_fetcher_lite_spark.operators.text import unigram_logprob
+from commoncrawl_fetcher_lite_spark.operators.text import (
+    corpus_stats,
+    unigram_logprob,
+)
 
 
 def _docs(spark, texts):
@@ -151,6 +154,21 @@ def test_unigram_logprob_matches_hand_computation(spark):
     assert abs(rows[1]["unigram_nll"] - nll1) < 1e-6
     # rarer tokens -> higher NLL
     assert rows[1]["unigram_nll"] > rows[0]["unigram_nll"]
+
+
+def test_corpus_stats_percentile_interpolation(spark):
+    """Exact percentile uses the standard (N-1)*p linear interpolation —
+    pinned so the DuckDB quantile_cont oracle stays equivalent."""
+    docs = spark.createDataFrame(
+        [(i, "t " * n, "en") for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string",
+    )
+    r = corpus_stats(docs).collect()[0]
+    assert (r["n_docs"], r["total_tokens"]) == (4, 100)
+    assert r["mean_tokens"] == 25.0
+    assert r["p50_tokens"] == 25.0  # (20+30)/2
+    assert r["p90_tokens"] == 37.0  # 30 + 0.7*(40-30)
+    assert r["p99_tokens"] == 39.7
 
 
 def test_duplicate_spans_stop_fingerprint_cap(spark):
