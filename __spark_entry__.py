@@ -10,6 +10,7 @@ relational surface on the shared tables.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -811,6 +812,39 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+_STREAM_SEQ = itertools.count()
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup ledger: documents arrive as a file stream,
+    a stateful groupBy(digest) maintains running duplicate counts, and
+    AvailableNow drains to a memory table whose final contents are
+    hash-checked against the plain batch GROUP BY oracle — streaming
+    path, batch answer. Every 25th doc is fanned out to two copies
+    in-stream so the counts exercise >1."""
+    from commoncrawl_fetcher_lite_spark.streaming.dedup_stream import (
+        run_to_memory,
+        stream_documents,
+        streaming_digest_counts,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = stream_documents(
+        spark, sf_dir, schema, glob_filter="documents.parquet"
+    )
+    fan = docs.select(
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_id") % 25 == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("copy"),
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    run_to_memory(streaming_digest_counts(fan), name)
+    return spark.table(name)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1173,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "unigram_logprob": q_unigram_logprob,
         "corpus_stats": q_corpus_stats,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1939,6 +1974,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(c / t)), 6) AS unigram_nll
             FROM tok JOIN freq USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "streaming_dedup": r"""
+            WITH corpus AS (
+                SELECT text FROM documents
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 25 = 0)
+            SELECT md5(text) AS digest, count(*) AS n_docs
+            FROM corpus GROUP BY md5(text)
         """,
         "corpus_stats": r"""
             WITH t AS (SELECT lang,

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "unigram_logprob",
     "corpus_stats",
+    # stateful Structured-Streaming dedup ledger drained via AvailableNow
+    "streaming_dedup",
 ]
 
 
