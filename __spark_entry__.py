@@ -1156,6 +1156,63 @@ def entry(spark: SparkSession) -> DataFrame:
     ).select("url", "host", "host_rank", "effective_priority")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters per document: modal n-gram occurrence
+    share (n=2,3,4) + duplicated n-gram occurrence share (n=5,10) +
+    combined rep_pass verdict — map-only sorted-array folds, no shuffle."""
+    from commoncrawl_fetcher_lite_spark.operators.text import repetition_signals
+
+    r = repetition_signals(_t(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id",
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "top_2gram_frac",
+                "top_3gram_frac",
+                "top_4gram_frac",
+                "dup_5gram_frac",
+                "dup_10gram_frac",
+            )
+        ],
+        "rep_pass",
+    )
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: de×2.25 (2 full copies + a seeded
+    quarter), en×0.5 (seeded half), other languages ×1 — one md5 gate per
+    row, map-only; output one row per emitted training copy."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus(docs, {"de": 2.25, "en": 0.5}, default_rate=1.0)
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle into 8 shards: seeded
+    md5 lanes give every doc a pseudo-random (shard_id, pos_in_shard);
+    the within-shard sort is a bounded window per shard, never a global
+    single-partition orderBy."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import shard_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(docs, n_shards=8)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: coarse-cell clustering (lowid
+    quantizer, SQL-expressible) restricts the quadratic cosine compare to
+    within-cell pairs; connected duplicate groups collapse to the
+    smallest-id exemplar. Output: (vec_id, cell, cluster_id, kept)."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return semdedup(emb, tau=0.4, n_cells=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1208,6 +1265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_stats": q_corpus_stats,
         "streaming_dedup": q_streaming_dedup,
+        "repetition_signals": q_repetition_signals,
+        "mix_corpus": q_mix_corpus,
+        "shard_shuffle": q_shard_shuffle,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1304,6 +1365,62 @@ def _lsh_neardup_oracle_sql(
           JOIN emb ea ON ea.vec_id = cand.id_a
           JOIN emb eb ON eb.vec_id = cand.id_b)
         WHERE cos_sim >= {threshold}
+    """
+
+
+def _repetition_oracle_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    top_thresholds: tuple[float, ...] = (0.20, 0.18, 0.16),
+    dup_ns: tuple[int, ...] = (5, 10),
+    dup_thresholds: tuple[float, ...] = (0.15, 0.10),
+) -> str:
+    """SQL twin of q_repetition_signals, generated per n: unnest the
+    doc's n-grams, count per gram, modal share = max(cnt)/total and
+    duplicated share = sum(cnt where cnt>=2)/total — the same occurrence
+    fractions the engine folds out of one sorted gram array per row."""
+    ctes, sel, gates = [], [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(f"""
+            g{n} AS (
+                SELECT doc_id, len(w) - {n - 1} AS total,
+                       unnest(list_transform(range(1, len(w) - {n - 1} + 1),
+                           i -> array_to_string(list_slice(w, i, i + {n - 1}),
+                                                ' '))) AS gram
+                FROM t WHERE len(w) >= {n}),
+            s{n} AS (
+                SELECT doc_id,
+                       CAST(max(cnt) AS DOUBLE) / any_value(total) AS top_frac,
+                       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt >= 2), 0)
+                            AS DOUBLE) / any_value(total) AS dup_frac
+                FROM (SELECT doc_id, any_value(total) AS total, gram,
+                             count(*) AS cnt
+                      FROM g{n} GROUP BY doc_id, gram)
+                GROUP BY doc_id)""")
+    for n, thr in zip(top_ns, top_thresholds):
+        sel.append(
+            f"ROUND(COALESCE(s{n}.top_frac, 0), 6) AS top_{n}gram_frac"
+        )
+        gates.append(f"COALESCE(s{n}.top_frac, 0) <= {thr!r}")
+    for n, thr in zip(dup_ns, dup_thresholds):
+        sel.append(
+            f"ROUND(COALESCE(s{n}.dup_frac, 0), 6) AS dup_{n}gram_frac"
+        )
+        gates.append(f"COALESCE(s{n}.dup_frac, 0) <= {thr!r}")
+    joins = "\n".join(
+        f"LEFT JOIN s{n} ON t.doc_id = s{n}.doc_id"
+        for n in sorted(set(top_ns) | set(dup_ns))
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+        {",".join(ctes)}
+        SELECT t.doc_id, {", ".join(sel)},
+               ({" AND ".join(gates)}) AS rep_pass
+        FROM t
+        {joins}
     """
 
 
@@ -2171,5 +2288,85 @@ def oracle_sql() -> dict[str, str]:
                               p -> greatest(CAST(ceil(length(p) / 6.0) AS INT) - 1,
                                             0))) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "repetition_signals": _repetition_oracle_sql(),
+        # mix_corpus: the md5 gate is the same arithmetic in both engines
+        # (first 8 hex chars of md5('<id>:mix:42') over 2^32 < frac(rate));
+        # full epochs come from range(n_copies), downsampled/zero-rate rows
+        # vanish because unnest of an empty list removes the row.
+        "mix_corpus": r"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'de' THEN 2.25
+                                 WHEN 'en' THEN 0.5
+                                 ELSE 1.0 END AS rate,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':mix:42'), 1, 8))
+                            AS BIGINT) / 4294967296.0 AS u
+                FROM documents),
+            n AS (SELECT doc_id, lang,
+                         CAST(floor(rate) AS INT)
+                         + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                             AS nc
+                  FROM d)
+            SELECT doc_id, lang,
+                   CAST(unnest(range(nc)) AS BIGINT) AS copy_idx
+            FROM n
+        """,
+        "shard_shuffle": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':shard:42'), 1, 8))
+                            AS BIGINT) % 8 AS shard_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':order:42') AS ord
+                FROM documents)
+            SELECT doc_id, shard_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                                           ORDER BY ord, doc_id) - 1
+                        AS BIGINT) AS pos_in_shard
+            FROM d
+        """,
+        # semdedup: cell assignment == ivf_ann's lowid quantizer oracle;
+        # within-cell pairs at cosine>=0.4 (rounded 6dp, both engines),
+        # connected components via the same recursive-CTE pattern as
+        # dedup_clusters, exemplar = smallest component member.
+        "semdedup": r"""
+            WITH RECURSIVE emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv, n AS cn
+                  FROM emb ORDER BY vec_id LIMIT 16),
+            assign AS (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                          / (e.n * c.cn), 6)
+                                    DESC, c.cid ASC) AS rnk
+                FROM emb e CROSS JOIN c),
+            cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+            p AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
+                  FROM cells ca
+                  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+                  JOIN emb a ON a.vec_id = ca.vec_id
+                  JOIN emb b ON b.vec_id = cb.vec_id
+                  WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+                        >= 0.4),
+            e2 AS (SELECT ia AS a, ib AS b FROM p
+                   UNION ALL
+                   SELECT ib AS a, ia AS b FROM p),
+            reach(node, m) AS (
+                SELECT vec_id, vec_id FROM emb
+                UNION
+                SELECT e2.a, r.m FROM e2 JOIN reach r ON e2.b = r.node
+            ),
+            cl AS (SELECT node AS vec_id, MIN(m) AS cluster_id
+                   FROM reach GROUP BY node)
+            SELECT cl.vec_id, cells.cell, cl.cluster_id,
+                   cl.vec_id = cl.cluster_id AS kept
+            FROM cl JOIN cells ON cl.vec_id = cells.vec_id
         """,
     }

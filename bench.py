@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "corpus_stats",
     # stateful Structured-Streaming dedup ledger drained via AvailableNow
     "streaming_dedup",
+    # Gopher repetition gates (map-only sorted-gram folds)
+    "repetition_signals",
+    # deterministic mixing / global shard shuffle / SemDeDup
+    "mix_corpus",
+    "shard_shuffle",
+    "semdedup",
 ]
 
 

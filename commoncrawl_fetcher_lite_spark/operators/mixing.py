@@ -1,0 +1,118 @@
+"""Deterministic corpus mixing and training-shard assignment.
+
+Two operators a training-data pipeline runs between "cleaned corpus" and
+"tokenized shards":
+
+  * mix_corpus — per-stratum up/down-sampling to hit a target data mix
+    (the LLaMA/Pile-style "weights" table: en×0.7, code×2.0, …). A rate
+    r produces floor(r) full copies of every doc plus one more with
+    probability frac(r) — decided by a seeded md5 gate, NOT an unseeded
+    random draw, so reruns, retries, and different cluster sizes all
+    produce the identical corpus (the same determinism contract as
+    functions/sampling.sample_gate; md5 here instead of xxhash64 so the
+    DuckDB oracle can reproduce the gate exactly).
+  * shard_shuffle — the global "shuffle the training data" step expressed
+    scale-correctly: a seeded md5 key assigns every doc a pseudo-random
+    (shard_id, pos_in_shard). Sorting WITHIN a shard is a window over one
+    shard's rows (bounded: corpus/n_shards — pick n_shards so a shard
+    fits an executor), never a global orderBy, which would be an
+    Exchange SinglePartition at 100 TB.
+
+Both are pure Catalyst — no Python in the row path; the md5 gate keeps
+whole-stage codegen intact.
+
+Reference scope note: the reference (tballison/commoncrawl-fetcher-lite)
+has no mixing/shuffling stage — its closest analogue is the unseeded
+per-clause sampler (selector/AbstractSamplingSelector.java:40-55), whose
+determinism fix is inherited here. These operators are §8 scope (training
+pipeline needs beyond the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def _md5_unit(key: Column, seed: int, lane: str) -> Column:
+    """Deterministic uniform [0,1) from (key, seed, lane): the first 8 hex
+    chars of md5 as an integer over 2^32. Lane separates independent
+    decisions on the same key (epoch gate vs shard placement)."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(lane), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_U32)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """Up/down-sample per stratum to the target mix: rate 0.25 keeps a
+    deterministic quarter of that stratum; rate 2.5 emits 2 copies of
+    every doc plus a third for a quarter of them. Output = input columns
+    + `copy_idx` (0-based), one row per emitted copy.
+
+    The fractional decision is ONE md5 per row compared against the
+    fractional part — map-only, no shuffle, no state; the full-epoch
+    copies come from exploding a per-row sequence (bounded by the max
+    configured rate, a constant). Downstream packing/shuffling treats
+    (doc, copy_idx) as independent documents."""
+    if any(r < 0 for r in weights.values()) or default_rate < 0:
+        raise ValueError("mix_corpus: rates must be >= 0")
+    rate = F.lit(float(default_rate))
+    for lang, r in sorted(weights.items()):
+        rate = F.when(F.col(stratum_col) == lang, F.lit(float(r))).otherwise(rate)
+    epochs = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    gate = _md5_unit(F.col(id_col), seed, "mix") < frac
+    n_copies = epochs + gate.cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), (n_copies - 1).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.withColumn("copy_idx", F.explode(copies))
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a deterministic pseudo-random (shard_id,
+    pos_in_shard): shard by one md5 lane, order within the shard by a
+    second (ties broken by id, so duplicate keys stay deterministic).
+
+    Scale shape: ONE hash-partition shuffle on shard_id, then a per-shard
+    sort — n_shards is the operator's memory knob (100 TB / 1 GiB shards
+    → n_shards ≈ 10^5; each window partition is one output shard). The
+    naive alternative — row_number over a global orderBy(random) — is a
+    single-partition exchange and is exactly what this operator exists to
+    avoid."""
+    if n_shards < 1:
+        raise ValueError("shard_shuffle: n_shards must be >= 1")
+    key = F.col(id_col)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", key.cast("string"), F.lit("shard"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_shards)
+    ).alias("shard_id")
+    order_key = F.md5(
+        F.concat_ws(":", key.cast("string"), F.lit("order"), F.lit(str(seed)))
+    )
+    out = df.select("*", shard, order_key.alias("_ord"))
+    w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), key)
+    return out.withColumn(
+        "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_ord")

@@ -333,6 +333,140 @@ def _kmeans_centroids(
     return C
 
 
+def _coarse_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_cells: int,
+    quantizer: str,
+    kmeans_sample_n: int = 4096,
+    kmeans_seed: int = 42,
+):
+    """Centroid matrix + cell ids for the two deterministic coarse
+    quantizers (shared by ivf_topk and semdedup): "lowid" = the n_cells
+    lowest-id corpus vectors (SQL-expressible, so DuckDB oracles can
+    rebuild the index exactly), "kmeans" = seeded spherical k-means over
+    a bounded lowest-id sample (_kmeans_centroids)."""
+    import numpy as np
+
+    if quantizer == "kmeans":
+        C = _kmeans_centroids(
+            corpus, corpus_id, corpus_vec, n_cells,
+            sample_n=kmeans_sample_n, seed=kmeans_seed,
+        )
+        cids = np.arange(len(C), dtype=np.int64)
+    elif quantizer == "lowid":
+        # the n_cells LOWEST-ID vectors — not `id < n_cells`, which yields
+        # an empty/undersized matrix when ids don't start near 0
+        cent_rows = (
+            corpus.select(corpus_id, corpus_vec)
+            .orderBy(corpus_id)
+            .limit(n_cells)
+            .collect()
+        )  # n_cells rows — tiny, deliberate driver constant
+        if not cent_rows:
+            raise ValueError("coarse quantizer: corpus is empty — no centroids")
+        C = np.array([list(r[corpus_vec]) for r in cent_rows], dtype=np.float64)
+        cids = np.array([r[corpus_id] for r in cent_rows], dtype=np.int64)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    return C, cids
+
+
+def semdedup(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "v",
+    quantizer: str = "lowid",
+    kmeans_sample_n: int = 4096,
+    kmeans_seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal in
+    embedding space — cluster the corpus with a coarse quantizer, compare
+    pairs ONLY within a cluster, collapse each connected duplicate group
+    to one exemplar. Returns (id, cell, cluster_id, kept) for every
+    corpus row: kept == (cluster_id == id), cluster_id = smallest member
+    of the doc's within-cell duplicate component (singletons keep
+    themselves).
+
+    Why this shape at 100 TB: exact embedding dedup is O(n²); SemDeDup's
+    bet is that true semantic duplicates land in the same coarse cell, so
+    the quadratic is paid per cell (n_cells is the knob — cells of ~10^5
+    vectors keep the self-join tractable) and cross-cell near-dups are
+    the documented recall loss. The cell self-join is the ONLY quadratic
+    stage; cell assignment is one numpy matmul per Arrow batch and the
+    component step reuses dedup_clusters' pointer-doubling propagation.
+
+    Divergence from the paper: the paper keeps the point with the LOWEST
+    centroid similarity per duplicate group (an iterative greedy sweep);
+    this implementation keeps the smallest id per CONNECTED component —
+    deterministic, one rule for singletons and groups, and
+    SQL-expressible so the whole operator is oracle-checkable. The
+    epsilon-dedup intent (one representative per semantic duplicate
+    group) is identical.
+
+    Cosines are rounded to 6 dp before the tau gate (BLAS/Catalyst
+    summation-order ulps must not flip a borderline pair between engine
+    and oracle); cell assignment rounds the same way (ivf_topk's rule).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+    from commoncrawl_fetcher_lite_spark.operators.dedup import dedup_clusters
+
+    C, cids = _coarse_centroids(
+        corpus, corpus_id, corpus_vec, n_cells, quantizer,
+        kmeans_sample_n=kmeans_sample_n, kmeans_seed=kmeans_seed,
+    )
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+
+    @pandas_udf(T.LongType())
+    def assign_cell(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        S = V @ C.T
+        vn = np.sqrt((V * V).sum(axis=1))
+        S = np.round(S / np.outer(vn, cn), 6)
+        return pd.Series(cids[np.argmax(S, axis=1)])
+
+    cells = (
+        spread_for_compute(corpus)
+        .select(corpus_id, corpus_vec, assign_cell(F.col(corpus_vec)).alias("cell"))
+        .localCheckpoint(eager=True)  # reused by both sides of the self-join
+    )
+    a = cells.select(
+        F.col(corpus_id).alias("id_a"), "cell", F.col(corpus_vec).alias("va")
+    )
+    b = cells.select(
+        F.col(corpus_id).alias("id_b"), "cell", F.col(corpus_vec).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+            >= F.lit(float(tau))
+        )
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(
+        pairs, docs=corpus.select(F.col(corpus_id)), id_col=corpus_id
+    )
+    return (
+        clusters.join(cells.select(corpus_id, "cell"), corpus_id)
+        .select(
+            corpus_id,
+            "cell",
+            "cluster_id",
+            (F.col("cluster_id") == F.col(corpus_id)).alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -378,27 +512,10 @@ def ivf_topk(
 
     from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
 
-    if quantizer == "kmeans":
-        C = _kmeans_centroids(
-            corpus, corpus_id, corpus_vec, n_cells,
-            sample_n=kmeans_sample_n, seed=kmeans_seed,
-        )
-        cids = np.arange(len(C), dtype=np.int64)
-    elif quantizer == "lowid":
-        # the n_cells LOWEST-ID vectors — not `id < n_cells`, which yields
-        # an empty/undersized matrix when ids don't start near 0
-        cent_rows = (
-            corpus.select(corpus_id, corpus_vec)
-            .orderBy(corpus_id)
-            .limit(n_cells)
-            .collect()
-        )  # n_cells rows — tiny, deliberate driver constant
-        if not cent_rows:
-            raise ValueError("ivf_topk: corpus is empty — no centroids")
-        C = np.array([list(r[corpus_vec]) for r in cent_rows], dtype=np.float64)
-        cids = np.array([r[corpus_id] for r in cent_rows], dtype=np.int64)
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
+    C, cids = _coarse_centroids(
+        corpus, corpus_id, corpus_vec, n_cells, quantizer,
+        kmeans_sample_n=kmeans_sample_n, kmeans_seed=kmeans_seed,
+    )
     cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
 
     def _cell_sims(vecs: pd.Series) -> np.ndarray:

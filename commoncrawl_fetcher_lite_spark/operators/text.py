@@ -468,3 +468,102 @@ def gopher_quality(
     return docs.select(
         id_col, F.inline(F.array(let(toks_expr, _feats)))
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    top_thresholds: tuple[float, ...] = (0.20, 0.18, 0.16),
+    dup_ns: tuple[int, ...] = (5, 10),
+    dup_thresholds: tuple[float, ...] = (0.15, 0.10),
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1): per document,
+    the modal n-gram's share of n-gram occurrences for small n (templated
+    boilerplate shows up as one dominant bigram/trigram) and the fraction
+    of n-gram occurrences that are repeats for large n (crawl spam repeats
+    whole phrases) — plus the combined `rep_pass` verdict at Gopher's
+    published thresholds.
+
+    Fractions are over n-gram OCCURRENCES, not Gopher's character
+    coverage — same documented divergence as gopher_quality's
+    top2gram_frac: identical gating intent, and occurrence fractions are
+    SQL-expressible so the DuckDB oracle reproduces them exactly.
+
+    Shape: ONE let-bound token array per row; each n gets one sorted
+    n-gram array folded ONCE with F.aggregate, tracking the longest
+    equal-run (modal count) AND the count of occurrences inside runs of
+    length >= 2 (duplicated occurrences) in the same accumulator — no
+    explode, no groupBy, no shuffle: a map-only scan stage at any scale.
+    """
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    if len(top_ns) != len(top_thresholds) or len(dup_ns) != len(dup_thresholds):
+        raise ValueError("repetition_signals: ns/thresholds length mismatch")
+
+    def _run_stats(toks: Column, n: int) -> Column:
+        """(modal_run, dup_occurrences, total) over the doc's n-grams."""
+        total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = F.array_sort(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
+        )
+
+        def _step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            # a run reaching 2 contributes both members; each further
+            # member adds one — total dup = sum of run lengths >= 2
+            dup = acc["dup"] + F.when(run == 2, F.lit(2)).otherwise(
+                F.when(run > 2, F.lit(1)).otherwise(F.lit(0))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                dup.alias("dup"),
+            )
+
+        return F.aggregate(
+            grams,
+            zero,
+            _step,
+            lambda acc: F.struct(
+                acc["best"].alias("best"),
+                acc["dup"].alias("dup"),
+                total.alias("total"),
+            ),
+        )
+
+    def _feats(toks: Column) -> Column:
+        cols = []
+        gates = F.lit(True)
+        for n, thr in zip(top_ns, top_thresholds):
+            st = _run_stats(toks, n)
+            frac = F.when(
+                st["total"] > 0, st["best"].cast("double") / st["total"]
+            ).otherwise(F.lit(0.0))
+            cols.append(frac.alias(f"top_{n}gram_frac"))
+            gates = gates & (frac <= F.lit(float(thr)))
+        for n, thr in zip(dup_ns, dup_thresholds):
+            st = _run_stats(toks, n)
+            frac = F.when(
+                st["total"] > 0, st["dup"].cast("double") / st["total"]
+            ).otherwise(F.lit(0.0))
+            cols.append(frac.alias(f"dup_{n}gram_frac"))
+            gates = gates & (frac <= F.lit(float(thr)))
+        return F.struct(*cols, gates.alias("rep_pass"))
+
+    toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    return docs.select(id_col, F.inline(F.array(let(toks_expr, _feats))))

@@ -1,0 +1,191 @@
+"""Deterministic corpus mixing + shard shuffle (operators/mixing.py) and
+the SemDeDup operator (operators/similarity.semdedup).
+
+The mixing contract: the SAME corpus mixed twice — or mixed with a
+different input partitioning — yields the IDENTICAL multiset of copies
+(the whole point of replacing unseeded random sampling, same rationale as
+functions/sampling.sample_gate vs the reference's unseeded
+java.util.Random, selector/AbstractSamplingSelector.java:40-55).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.operators.mixing import mix_corpus, shard_shuffle
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+
+
+def test_mix_rate_zero_drops_stratum(docs):
+    out = mix_corpus(docs, {"en": 0.0}, default_rate=1.0)
+    assert out.where("lang = 'en'").count() == 0
+    # other strata untouched: exactly one copy each
+    assert out.where("lang != 'en'").count() == docs.where("lang != 'en'").count()
+
+
+def test_mix_integer_rate_exact_copies(docs):
+    out = mix_corpus(docs, {"de": 3.0}, default_rate=1.0)
+    de = docs.where("lang = 'de'").count()
+    assert out.where("lang = 'de'").count() == 3 * de
+    idx = (
+        out.where("lang = 'de'")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("copy_idx")).alias("c"))
+        .select("c")
+        .distinct()
+        .collect()
+    )
+    assert [r["c"] for r in idx] == [[0, 1, 2]]
+
+
+def test_mix_fractional_rate_is_deterministic_and_plausible(docs):
+    a = mix_corpus(docs, {"fr": 0.5}, default_rate=1.0)
+    b = mix_corpus(docs.repartition(7), {"fr": 0.5}, default_rate=1.0)
+    ra = sorted((r.doc_id, r.copy_idx) for r in a.collect())
+    rb = sorted((r.doc_id, r.copy_idx) for r in b.collect())
+    assert ra == rb  # partitioning-independent
+    fr_total = docs.where("lang = 'fr'").count()
+    fr_kept = a.where("lang = 'fr'").count()
+    assert 0.3 * fr_total < fr_kept < 0.7 * fr_total  # ~half, seeded
+
+
+def test_mix_seed_changes_selection(docs):
+    a = {r.doc_id for r in mix_corpus(docs, {"fr": 0.5}, seed=1).where("lang='fr'").collect()}
+    b = {r.doc_id for r in mix_corpus(docs, {"fr": 0.5}, seed=2).where("lang='fr'").collect()}
+    assert a != b
+
+
+def test_mix_is_map_only(docs):
+    plan = _plan(mix_corpus(docs, {"en": 2.5}))
+    assert "Exchange" not in plan
+
+
+def test_mix_rejects_negative_rate(docs):
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {"en": -1.0})
+
+
+def test_shard_shuffle_partition_of_corpus(docs):
+    out = shard_shuffle(docs, n_shards=8)
+    assert out.count() == 400
+    assert out.select("doc_id").distinct().count() == 400
+    # positions are a contiguous 0..k-1 run within every shard
+    bad = (
+        out.groupBy("shard_id")
+        .agg(F.count("*").alias("k"), F.max("pos_in_shard").alias("mx"),
+             F.min("pos_in_shard").alias("mn"),
+             F.countDistinct("pos_in_shard").alias("d"))
+        .where("mx != k - 1 OR mn != 0 OR d != k")
+        .count()
+    )
+    assert bad == 0
+    # pseudo-random balance: no shard is empty or dominant
+    sizes = [r.k for r in out.groupBy("shard_id").agg(F.count("*").alias("k")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 10 and max(sizes) < 150
+
+
+def test_shard_shuffle_deterministic_and_reordering(docs):
+    a = sorted(map(tuple, shard_shuffle(docs, 4).collect()))
+    b = sorted(map(tuple, shard_shuffle(docs.repartition(5), 4).collect()))
+    assert a == b
+    # within a shard the order is NOT id order (it is a shuffle)
+    first = shard_shuffle(docs, 4).where("shard_id = 0").orderBy("pos_in_shard")
+    ids = [r.doc_id for r in first.collect()]
+    assert ids != sorted(ids)
+
+
+def test_shard_shuffle_no_single_partition_exchange(docs):
+    plan = _plan(shard_shuffle(docs, 16))
+    assert "Exchange SinglePartition" not in plan
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_semdedup_collapses_exact_duplicates(spark):
+    # 2 is a duplicate of 0; 3 of 1; 4 unique. n_cells=2 → centroids are
+    # vec 0 and vec 1; duplicates land in their twin's cell by nearest-
+    # centroid assignment.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.001]),
+        (4, [0.577, 0.577, 0.577]),
+    ]
+    out = {r.vec_id: r for r in semdedup_rows(spark, rows, tau=0.99, n_cells=2)}
+    assert out[2].cluster_id == 0 and not out[2].kept
+    assert out[3].cluster_id == 1 and not out[3].kept
+    assert out[0].kept and out[1].kept and out[4].kept
+
+
+def semdedup_rows(spark, rows, **kw):
+    from commoncrawl_fetcher_lite_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, rows), **kw).collect()
+
+
+def test_semdedup_transitive_within_cell(spark):
+    # chain 0~1~2 (adjacent cosines above tau, 0 vs 2 below): one component
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.98, 0.199]),
+        (2, [0.921, 0.3897]),
+        (3, [0.0, 1.0]),
+    ]
+    out = {r.vec_id: r for r in semdedup_rows(spark, rows, tau=0.97, n_cells=1)}
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
+    assert out[0].kept and not out[1].kept and not out[2].kept
+    assert out[3].kept
+
+
+def test_semdedup_cross_cell_pairs_not_compared(spark):
+    # vec 2 is identical to vec 1 but sits nearest centroid 0 is false —
+    # craft it so 1 and 2 land in DIFFERENT cells: the pair is never
+    # compared (SemDeDup's documented recall loss), both are kept.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.708, 0.706]),   # cell 0 (barely)
+        (3, [0.706, 0.708]),   # cell 1 (barely) — near-identical to 2
+    ]
+    out = {r.vec_id: r for r in semdedup_rows(spark, rows, tau=0.9, n_cells=2)}
+    assert out[2].cell != out[3].cell
+    assert out[2].kept and out[3].kept
+
+
+def test_semdedup_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    a = sorted(map(tuple, semdedup_rows(spark, rows, tau=0.6, n_cells=4)))
+    from commoncrawl_fetcher_lite_spark.operators.similarity import semdedup
+
+    b = sorted(
+        map(tuple, semdedup(_emb(spark, rows).repartition(9), tau=0.6, n_cells=4).collect())
+    )
+    assert a == b
