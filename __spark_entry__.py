@@ -1213,6 +1213,76 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, tau=0.4, n_cells=16)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over the documents table —
+    smoothed sklearn idf, deterministic tie-break (rounded score desc,
+    term asc)."""
+    from commoncrawl_fetcher_lite_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (NFC + CRLF fold + control strip + whitespace
+    collapse) over a deterministically-messied copy of documents: doc_id
+    % 3 picks double-spacing, CRLF line breaks, or untouched text, so the
+    driver row exercises every rewrite rule with non-vacuous `changed`
+    bits."""
+    from commoncrawl_fetcher_lite_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.replace(F.col("text"), F.lit(" "), F.lit("  "))
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(F.col("text"), F.lit(" "), F.lit("\r\n")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(docs, nfc=True)
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout over documents (90/5/5):
+    membership depends only on (doc_id, seed), so corpus rebuilds never
+    move a document across the train/eval boundary."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import holdout_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return holdout_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist tagging over the seeds frame: half the candidates
+    get a 'www.' label so the parent-domain suffix path is exercised, and
+    two blocklist rows at different depths check longest-match
+    precedence. Output: (url, host, blocked, block_domain,
+    block_category)."""
+    from commoncrawl_fetcher_lite_spark.frontier.blocklist import tag_blocked
+
+    seeds = _seeds_view(spark, sf_dir)
+    cands = seeds.select(
+        "url",
+        F.when(
+            F.col("event_id") % 2 == 0, F.concat(F.lit("www."), F.col("host"))
+        )
+        .otherwise(F.col("host"))
+        .alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("host3.example.com", "spam"),
+            ("host7.example.com", "ads"),
+            ("www.host7.example.com", "tracker"),
+        ],
+        "domain string, category string",
+    )
+    return tag_blocked(cands, bl)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1269,6 +1339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "shard_shuffle": q_shard_shuffle,
         "semdedup": q_semdedup,
+        "tfidf_topk": q_tfidf_topk,
+        "normalize_text": q_normalize_text,
+        "holdout_split": q_holdout_split,
+        "blocklist": q_blocklist,
     }
 
 
@@ -2368,5 +2442,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT cl.vec_id, cells.cell, cl.cluster_id,
                    cl.vec_id = cl.cluster_id AS kept
             FROM cl JOIN cells ON cl.vec_id = cells.vec_id
+        """,
+        # tfidf: smoothed sklearn idf, rank on the ROUNDED score so
+        # summation-order ulps can't flip a tie between engines
+        "tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS w
+                FROM documents),
+            dt AS (SELECT doc_id, w, count(*) AS tf
+                   FROM toks GROUP BY doc_id, w),
+            dfq AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, dt.w AS term, tf,
+                       ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                                   + 1.0), 6) AS score
+                FROM dt JOIN dfq USING (w) CROSS JOIN n),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term ASC)
+                             AS rank
+                  FROM scored)
+            SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        # normalize_text: same deterministic messing (doc_id % 3), then
+        # DuckDB's utf8proc NFC vs Python's unicodedata NFC — both UAX
+        # #15 — followed by the identical three regex passes + trim
+        "normalize_text": r"""
+            WITH messy AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                                THEN replace(text, ' ', '  ')
+                            WHEN doc_id % 3 = 1
+                                THEN replace(text, ' ', chr(13) || chr(10))
+                            ELSE text END AS text
+                FROM documents),
+            n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               regexp_replace(nfc_normalize(text),
+                                              '\r\n?', chr(10), 'g'),
+                               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                           '[ \t]+', ' ', 'g')) AS norm_text
+                FROM messy)
+            SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
+        """,
+        # holdout_split: the engine's md5 lane arithmetic verbatim —
+        # first 8 hex chars of md5('<id>:split:42') over 2^32 into
+        # cumulative buckets
+        "holdout_split": r"""
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || ':split:42'), 1, 8))
+                              AS BIGINT) / 4294967296.0 AS u
+                  FROM documents)
+        """,
+        # blocklist: suffix semantics re-derived as host = domain OR
+        # host LIKE '%.domain'; longest matching domain wins (the
+        # engine's most-specific-suffix rule expressed differently)
+        "blocklist": r"""
+            WITH cand AS (
+                SELECT 'https://host' || (user_id % 20)
+                           || '.example.com/e/' || event_id AS url,
+                       CASE WHEN event_id % 2 = 0 THEN 'www.' ELSE '' END
+                           || 'host' || (user_id % 20) || '.example.com'
+                           AS host
+                FROM events),
+            bl(domain, category) AS (VALUES
+                ('host3.example.com', 'spam'),
+                ('host7.example.com', 'ads'),
+                ('www.host7.example.com', 'tracker')),
+            m AS (
+                SELECT cand.url, cand.host, bl.domain, bl.category,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cand.url
+                           ORDER BY length(bl.domain) DESC NULLS LAST)
+                           AS rnk
+                FROM cand LEFT JOIN bl
+                  ON cand.host = bl.domain
+                  OR cand.host LIKE '%.' || bl.domain)
+            SELECT url, host, domain IS NOT NULL AS blocked,
+                   domain AS block_domain, category AS block_category
+            FROM m WHERE rnk = 1
         """,
     }

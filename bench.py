@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "mix_corpus",
     "shard_shuffle",
     "semdedup",
+    # corpus-prep batch 2: keywords, normalization, holdout, blocklist
+    "tfidf_topk",
+    "normalize_text",
+    "holdout_split",
+    "blocklist",
 ]
 
 

@@ -77,6 +77,42 @@ def mix_corpus(
     return docs.withColumn("copy_idx", F.explode(copies))
 
 
+def holdout_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one md5 lane per row maps
+    into cumulative fraction buckets (`{"train": .98, "val": .01,
+    "test": .01}` → u<0.98 train, u<0.99 val, else test). Adds a `split`
+    column; map-only, no shuffle, no state.
+
+    Determinism is the entire point: membership depends only on
+    (id, seed), so re-running the pipeline, changing cluster size, or
+    adding NEW documents never moves an EXISTING document across the
+    train/eval boundary — the property that prevents silent train-on-test
+    contamination when a corpus is rebuilt. Fraction keys are assigned in
+    the dict's given order; fractions must sum to 1 (±1e-9)."""
+    if not fractions:
+        raise ValueError("holdout_split: fractions is empty")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("holdout_split: fractions must be >= 0")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("holdout_split: fractions must sum to 1")
+    u = _md5_unit(F.col(id_col), seed, "split")
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    edges = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        edges.append((name, cum))
+    for name, edge in reversed(edges):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def shard_shuffle(
     df: DataFrame,
     n_shards: int,

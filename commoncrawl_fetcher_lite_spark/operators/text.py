@@ -567,3 +567,111 @@ def repetition_signals(
 
     toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
     return docs.select(id_col, F.inline(F.array(let(toks_expr, _feats))))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (smoothed sklearn form:
+    tf × (ln((N+1)/(df+1)) + 1)) — the standard corpus-analysis /
+    keyword-extraction block. Output: (doc_id, term, tf, score, rank),
+    rank 1..k, deterministic tie-break (rounded score desc, term asc).
+
+    Scale shape: the (doc, term) counts are ONE groupBy where map-side
+    combiners collapse repeated tokens before the exchange; document
+    frequency reuses that already-distinct frame (groupBy(term) — no
+    separate DISTINCT pass over the corpus); N comes from a broadcast
+    1-row aggregate (never a driver collect); the score join re-shuffles
+    on term; the final top-k is a window partitioned by doc_id whose
+    groups are bounded by per-doc DISTINCT terms (~10^4 worst case), not
+    corpus size — WindowGroupLimit prunes to k per group before the sort
+    output materializes. No stage buffers anything corpus-sized."""
+    if k < 1:
+        raise ValueError("tfidf_topk: k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(tokens(text_col), lambda x: x != F.lit(""))).alias("w"),
+    )
+    dt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        dt.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = False,
+) -> DataFrame:
+    """Canonical text cleanup before hashing/dedup/tokenization:
+    CRLF/CR → LF, strip C0 control chars (except \\n and \\t) and DEL,
+    collapse runs of spaces/tabs to one space, trim. Output:
+    (doc_id, norm_text, changed).
+
+    Dedup correctness depends on this running FIRST: exact dedup hashes
+    bytes, so 'a  b' vs 'a b' or CRLF vs LF split what is one document
+    into two digests. The core is three regexp_replace passes — pure
+    Catalyst, map-only, whole-stage codegen.
+
+    nfc=True additionally applies Unicode NFC composition (é as e+◌́ →
+    precomposed é) via an Arrow-batched pandas UDF BEFORE the regex
+    passes — the one step Catalyst has no built-in for. Python's
+    unicodedata and DuckDB's nfc_normalize both implement UAX #15, so
+    the operator stays oracle-checkable with nfc on."""
+    core = F.col(text_col)
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.StringType())
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+            )
+
+        core = _nfc(core)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(core, r"\r\n?", "\n"),
+                "[\\x00-\\x08\\x0B-\\x1F\\x7F]",
+                "",
+            ),
+            r"[ \t]+",
+            " ",
+        )
+    )
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
