@@ -492,10 +492,15 @@ def repetition_signals(
     SQL-expressible so the DuckDB oracle reproduces them exactly.
 
     Shape: ONE let-bound token array per row; each n gets one sorted
-    n-gram array folded ONCE with F.aggregate, tracking the longest
-    equal-run (modal count) AND the count of occurrences inside runs of
-    length >= 2 (duplicated occurrences) in the same accumulator — no
-    explode, no groupBy, no shuffle: a map-only scan stage at any scale.
+    n-gram array reduced to run-length statistics with ARRAY arithmetic —
+    run starts = positions where the sorted list changes, run lengths =
+    adjacent-start differences, modal count = max run, duplicated
+    occurrences = total − count(runs of length 1). Every intermediate is
+    let-bound so it evaluates exactly once per row (a struct-accumulator
+    F.aggregate fold here measured ~5-6× slower at sf0.1: interpreted
+    per-element struct rebuilds, and every downstream reference re-ran
+    the whole fold). No explode, no groupBy, no shuffle: a map-only scan stage at
+    any scale.
     """
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
@@ -503,9 +508,10 @@ def repetition_signals(
         raise ValueError("repetition_signals: ns/thresholds length mismatch")
 
     def _run_stats(toks: Column, n: int) -> Column:
-        """(modal_run, dup_occurrences, total) over the doc's n-grams."""
+        """struct(best, dup, total) over the doc's n-grams via run-length
+        arithmetic on the sorted gram array (each stage let-bound)."""
         total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        grams = F.array_sort(
+        grams_expr = F.array_sort(
             F.when(
                 F.size(toks) >= n,
                 F.transform(
@@ -514,56 +520,72 @@ def repetition_signals(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(0).alias("dup"),
-        )
 
-        def _step(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            # a run reaching 2 contributes both members; each further
-            # member adds one — total dup = sum of run lengths >= 2
-            dup = acc["dup"] + F.when(run == 2, F.lit(2)).otherwise(
-                F.when(run > 2, F.lit(1)).otherwise(F.lit(0))
-            )
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-                dup.alias("dup"),
-            )
+        def _from_grams(g: Column) -> Column:
+            L = F.size(g)
+            # 1-based positions where a new equal-run begins; the
+            # greatest() keeps the i-1 lookup in bounds at i=1 (the i==1
+            # disjunct already decides that element, but Catalyst OR does
+            # not short-circuit and ANSI element_at(g, 0) throws)
+            starts_expr = F.when(
+                L > 0,
+                F.filter(
+                    F.sequence(F.lit(1), L),
+                    lambda i: (i == F.lit(1))
+                    | (
+                        F.element_at(g, i)
+                        != F.element_at(g, F.greatest(i - 1, F.lit(1)))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
 
-        return F.aggregate(
-            grams,
-            zero,
-            _step,
-            lambda acc: F.struct(
-                acc["best"].alias("best"),
-                acc["dup"].alias("dup"),
-                total.alias("total"),
-            ),
-        )
+            def _from_starts(st: Column) -> Column:
+                k = F.size(st)
+                ext = F.concat(st, F.array(L + 1))
+                runs_expr = F.zip_with(
+                    F.slice(ext, 1, k), F.slice(ext, 2, k), lambda a, b: b - a
+                )
+
+                def _from_runs(r: Column) -> Column:
+                    return F.struct(
+                        F.coalesce(F.array_max(r), F.lit(0)).alias("best"),
+                        (L - F.size(F.filter(r, lambda x: x == 1))).alias(
+                            "dup"
+                        ),
+                        total.alias("total"),
+                    )
+
+                return let(runs_expr, _from_runs)
+
+            return let(starts_expr, _from_starts)
+
+        return let(grams_expr, _from_grams)
+
+    specs = [("top", n, thr) for n, thr in zip(top_ns, top_thresholds)] + [
+        ("dup", n, thr) for n, thr in zip(dup_ns, dup_thresholds)
+    ]
 
     def _feats(toks: Column) -> Column:
-        cols = []
-        gates = F.lit(True)
-        for n, thr in zip(top_ns, top_thresholds):
-            st = _run_stats(toks, n)
-            frac = F.when(
-                st["total"] > 0, st["best"].cast("double") / st["total"]
-            ).otherwise(F.lit(0.0))
-            cols.append(frac.alias(f"top_{n}gram_frac"))
-            gates = gates & (frac <= F.lit(float(thr)))
-        for n, thr in zip(dup_ns, dup_thresholds):
-            st = _run_stats(toks, n)
-            frac = F.when(
-                st["total"] > 0, st["dup"].cast("double") / st["total"]
-            ).otherwise(F.lit(0.0))
-            cols.append(frac.alias(f"dup_{n}gram_frac"))
-            gates = gates & (frac <= F.lit(float(thr)))
-        return F.struct(*cols, gates.alias("rep_pass"))
+        # bind every per-n stats struct before building the output, so no
+        # stats expression is ever evaluated more than once per row
+        def _build(i: int, bound: list[Column]) -> Column:
+            if i == len(specs):
+                cols = []
+                gates = F.lit(True)
+                for (kind, n, thr), s in zip(specs, bound):
+                    num = s["best"] if kind == "top" else s["dup"]
+                    frac = F.when(
+                        s["total"] > 0, num.cast("double") / s["total"]
+                    ).otherwise(F.lit(0.0))
+                    cols.append(frac.alias(f"{kind}_{n}gram_frac"))
+                    gates = gates & (frac <= F.lit(float(thr)))
+                return F.struct(*cols, gates.alias("rep_pass"))
+            _, n, _ = specs[i]
+            return let(
+                _run_stats(toks, n), lambda s: _build(i + 1, bound + [s])
+            )
+
+        return _build(0, [])
 
     toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
     return docs.select(id_col, F.inline(F.array(let(toks_expr, _feats))))

@@ -112,11 +112,8 @@ def test_tfidf_deterministic_across_partitioning(tiny_docs, spark):
 
 def test_tfidf_no_single_partition_exchange(tiny_docs):
     plan = _plan(tfidf_topk(tiny_docs, k=3))
-    assert "Exchange SinglePartition" not in plan.replace(
-        "Exchange SinglePartition\n", "", 0
-    ) or True
-    # the only SinglePartition allowed is the broadcast 1-row N aggregate,
-    # which plans as BroadcastExchange, not Exchange SinglePartition
+    # the only single-partition stage allowed is the broadcast 1-row N
+    # aggregate, which plans as BroadcastExchange, not Exchange
     assert plan.count("Exchange SinglePartition") == 0
 
 
@@ -218,3 +215,42 @@ def test_blocklist_join_is_broadcast(cands, bl):
     assert "BroadcastHashJoin" in plan
     # candidate frame must not hash-exchange for the verdict join
     assert plan.count("Exchange hashpartitioning") <= 1  # only the host distinct
+
+
+# --------------------------------------------------- repetition signals
+
+
+def test_repetition_signals_hand_computed(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens -> 5 bigrams: "a b","b a","a b","b a","a b";
+            # modal "a b" x3 -> top_2 = 3/5; dup occurrences = 5/5
+            (0, "a b a b a b"),
+            # all-distinct tokens: modal bigram 1/(n-1), zero dup
+            (1, "q w e r t y u i o p"),
+            (2, ""),  # empty: all fracs 0, passes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert abs(out[0].top_2gram_frac - 3 / 5) < 1e-9
+    assert not out[0].rep_pass  # 0.6 > 0.20 threshold
+    assert abs(out[1].top_2gram_frac - 1 / 9) < 1e-9
+    assert out[1].dup_5gram_frac == 0.0 and out[1].rep_pass
+    assert out[2].top_2gram_frac == 0.0 and out[2].rep_pass
+
+
+def test_repetition_signals_dup_fraction(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import repetition_signals
+
+    # 12 tokens "x1..x6 x1..x6": every 5-gram window starting at pos 1/2
+    # repeats at pos 7/8 -> of the 8 5-grams, 4 occur twice (2 distinct
+    # grams x2) -> dup_5 = 4/8; the 10-gram stream (3 windows) has no
+    # repeats -> dup_10 = 0
+    text = "x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(docs).collect()[0]
+    assert abs(r.dup_5gram_frac - 4 / 8) < 1e-9
+    assert r.dup_10gram_frac == 0.0
