@@ -1283,6 +1283,22 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_blocked(cands, bl)
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: product-quantized codes (m=8 bytes per 64-dim vector)
+    + asymmetric-distance lookup tables — the memory-compressed ANN scale
+    path. Deterministic lowid centroids AND codebook, so DuckDB
+    recomputes assignment, encoding, LUT, ADC, and top-k exactly."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivfpq_topk(q, emb, k=3, n_cells=16, n_probe=4, m=8, n_codes=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1343,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "holdout_split": q_holdout_split,
         "blocklist": q_blocklist,
+        "ivfpq_ann": q_ivfpq_ann,
     }
 
 
@@ -2533,5 +2550,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host, domain IS NOT NULL AS blocked,
                    domain AS block_domain, category AS block_category
             FROM m WHERE rnk = 1
+        """,
+        # ivfpq: full index rebuild — lowid centroids (cosine assignment,
+        # the ivf_ann rule), lowid codebook subvectors, per-subspace
+        # rounded squared-L2 encode/LUT, ADC summed IN SUBSPACE ORDER
+        # (list(d ORDER BY s) -> list_sum) to mirror the engine's
+        # sequential fold before the final 6-dp round
+        "ivfpq_ann": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv, n AS cn
+                  FROM emb ORDER BY vec_id LIMIT 16),
+            assign AS (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                          / (e.n * c.cn), 6) DESC,
+                                    c.cid ASC) AS rnk
+                FROM emb e CROSS JOIN c),
+            cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+            probes AS (SELECT vec_id AS query_id, cid AS cell
+                       FROM assign WHERE vec_id < 5 AND rnk <= 4),
+            cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+                   FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT unnest(range(8)) AS s),
+            dist AS (
+                SELECT e.vec_id, sub.s, cb.code,
+                       ROUND(list_sum(list_transform(range(1, 9),
+                           i -> pow(e.v[CAST(sub.s * 8 + i AS INT)]
+                                    - cb.v[CAST(sub.s * 8 + i AS INT)],
+                                    2))), 6) AS d
+                FROM emb e CROSS JOIN sub CROSS JOIN cb),
+            enc AS (SELECT vec_id, s, code FROM (
+                        SELECT vec_id, s, code,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY vec_id, s
+                                   ORDER BY d ASC, code ASC) AS rnk
+                        FROM dist) WHERE rnk = 1),
+            cand AS (
+                SELECT p.query_id, cells.vec_id AS neighbor_id
+                FROM probes p JOIN cells ON p.cell = cells.cell
+                WHERE cells.vec_id != p.query_id),
+            adc AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       ROUND(list_sum(list(lut.d ORDER BY enc.s)), 6) AS adc
+                FROM cand
+                JOIN enc ON enc.vec_id = cand.neighbor_id
+                JOIN dist lut ON lut.vec_id = cand.query_id
+                             AND lut.s = enc.s AND lut.code = enc.code
+                GROUP BY cand.query_id, cand.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, adc,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc ASC,
+                                                     neighbor_id ASC) AS rank
+                  FROM adc)
+            SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
     }

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "normalize_text",
     "holdout_split",
     "blocklist",
+    # product-quantized ANN (m-byte codes + ADC lookup tables)
+    "ivfpq_ann",
 ]
 
 

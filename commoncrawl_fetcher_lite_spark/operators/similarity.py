@@ -557,3 +557,136 @@ def ivf_topk(
     return _rerank_topk(
         cand, queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "v",
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011): the memory-compressed scale path.
+    Corpus vectors live in coarse cells (same lowid quantizer as
+    ivf_topk) but are stored as m-byte PRODUCT-QUANTIZATION codes — each
+    vector's m subvectors are replaced by the id of the nearest codebook
+    entry — so the candidate scan reads m bytes per vector instead of
+    4·dim: at 10^10 × 768-dim float32 that is 3 TB of codes vs 30 TB of
+    vectors, the difference between an in-memory scan and not.
+
+    Query side: an asymmetric-distance (ADC) lookup table — the query's
+    squared L2 distance to every codebook entry per subspace, m×n_codes
+    doubles — rides with the query through the cell-probe join; the
+    per-candidate distance is m table lookups summed in subspace order
+    (a let-bound Catalyst fold, no Python in the row path). Top-k ranks
+    by rounded ADC asc, id asc.
+
+    Everything is a pure function of the data: codebook entries are the
+    n_codes LOWEST-ID corpus vectors' subvectors (the same
+    SQL-expressible determinism trade as ivf's lowid quantizer — a real
+    deployment trains per-subspace k-means; the seam is _pq_codebook),
+    and all distances are rounded to 6 dp before any argmin/sort so BLAS
+    summation order can't flip a tie between engine and oracle. The
+    DuckDB oracle recomputes assignment, encoding, LUT, ADC, and top-k
+    from scratch.
+
+    Accuracy caveat (inherent to PQ, documented not hidden): ADC ranks by
+    QUANTIZED distance, so results diverge from exact top-k as
+    quantization error grows; pytest measures recall vs brute force.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from commoncrawl_fetcher_lite_spark.functions.letbind import spread_for_compute
+
+    C, cids = _coarse_centroids(corpus, corpus_id, corpus_vec, n_cells, "lowid")
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+    dim = C.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # codebook[s]: (n_codes, sub) — subvectors of the n_codes lowest-id
+    # corpus vectors (bounded driver constant, same collect as centroids)
+    cb_rows = (
+        corpus.select(corpus_id, corpus_vec).orderBy(corpus_id).limit(n_codes).collect()
+    )
+    if len(cb_rows) < 2:
+        raise ValueError("ivfpq_topk: corpus too small for a codebook")
+    CB = np.array([list(r[corpus_vec]) for r in cb_rows], dtype=np.float64)
+    CB = CB.reshape(len(cb_rows), m, sub).transpose(1, 0, 2)  # (m, n_codes, sub)
+
+    def _cell_sims(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        S = V @ C.T
+        vn = np.sqrt((V * V).sum(axis=1))
+        return np.round(S / np.outer(vn, cn), 6)
+
+    @pandas_udf(T.LongType())
+    def assign_cell(vecs):
+        return pd.Series(cids[np.argmax(_cell_sims(vecs), axis=1)])
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_cells(vecs):
+        order = np.argsort(-_cell_sims(vecs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    def _sub_dists(V):
+        """(batch, m, n_codes) rounded squared L2 per subspace."""
+        Vs = V.reshape(len(V), m, sub)
+        # ||x-c||^2 via broadcasting: (b, m, 1, sub) - (m, n_codes, sub)
+        D = ((Vs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return np.round(D, 6)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.argmin(_sub_dists(V), axis=2)  # first-min = lowest code id
+        return pd.Series(list(codes.astype(np.int32)))
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def lut(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(_sub_dists(V)))
+
+    # corpus side: (id, cell, m-byte codes) — the vectors themselves never
+    # enter the join; query side: (id, probed cell, LUT)
+    cs = spread_for_compute(corpus).select(
+        corpus_id,
+        assign_cell(F.col(corpus_vec)).alias("cell"),
+        encode(F.col(corpus_vec)).alias("codes"),
+    )
+    qs = spread_for_compute(queries).select(
+        query_id,
+        F.explode(probe_cells(F.col(query_vec))).alias("cell"),
+        lut(F.col(query_vec)).alias("lut"),
+    )
+    # each corpus vector lives in exactly one cell and probe cells are
+    # distinct, so (query, neighbor) pairs are unique without a dedup
+    cand = qs.join(cs, "cell").where(F.col(corpus_id) != F.col(query_id))
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
+            ),
+        ),
+        6,
+    )
+    scored = cand.select(
+        query_id, F.col(corpus_id).alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

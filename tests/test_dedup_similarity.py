@@ -425,3 +425,70 @@ def test_dedup_clusters_pointer_doubling_deep_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
     assert got == {i: 0 for i in range(301)}
+
+
+# ------------------------------------------------------------- ivfpq
+
+
+def _pq_emb(spark, n=120, dim=16, n_clusters=6, seed=11):
+    """Clustered vectors: cluster centers far apart, members tight, so
+    true neighbors share a coarse cell and PQ codes separate clusters."""
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.uniform(-1, 1) * 10 for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_ivfpq_separates_clusters(spark):
+    """PQ's guarantee at this geometry is CLUSTER-level: quantization
+    collapses within-cluster distances (same-cluster members share codes,
+    ADC ties break by id), so the assertion is that every returned
+    neighbor belongs to the query's cluster — not exact-top-k recall,
+    which PQ does not promise without a refinement stage."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivfpq_topk
+
+    emb = _pq_emb(spark)
+    q = emb.where("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = ivfpq_topk(q, emb, k=5, n_cells=12, n_probe=4, m=4, n_codes=16)
+    rows = out.collect()
+    assert len(rows) == 30  # 6 queries x k=5
+    assert all(r.neighbor_id % 6 == r.query_id % 6 for r in rows)
+
+
+def test_ivfpq_deterministic_and_ranked(spark):
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivfpq_topk
+
+    emb = _pq_emb(spark)
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    a = sorted(map(tuple, ivfpq_topk(q, emb, k=3, n_cells=8, n_probe=3, m=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                q.repartition(3), emb.repartition(7), k=3, n_cells=8, n_probe=3, m=4
+            ).collect(),
+        )
+    )
+    assert a == b
+    ranks = {}
+    for r in a:
+        ranks.setdefault(r[0], []).append(r[3])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_ivfpq_rejects_indivisible_dim(spark):
+    from commoncrawl_fetcher_lite_spark.operators.similarity import ivfpq_topk
+
+    emb = _pq_emb(spark, dim=10)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    with pytest.raises(ValueError):
+        ivfpq_topk(q, emb, m=4)
