@@ -1299,6 +1299,17 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(q, emb, k=3, n_cells=16, n_probe=4, m=8, n_codes=16)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (max 32 tokens, 8 overlap) —
+    the embedding/retrieval prep step; map-only explode over bounded
+    per-doc chunk ranges."""
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1360,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "blocklist": q_blocklist,
         "ivfpq_ann": q_ivfpq_ann,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2610,5 +2622,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM adc)
             SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # chunking: stride = 32 - 8 = 24; ceil((n-8)/24) chunks (min 1
+        # for non-empty docs); list_slice is 1-based inclusive, clipped
+        # at the end exactly like Spark's slice
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+            n AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+            c AS (SELECT doc_id, w, n,
+                         unnest(range(greatest(
+                             CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS BIGINT),
+                             1))) AS chunk_idx
+                  FROM n)
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(least(n - chunk_idx * 24, 32) AS INT) AS n_tokens,
+                   array_to_string(list_slice(w, chunk_idx * 24 + 1,
+                                              chunk_idx * 24 + 32),
+                                   ' ') AS chunk_text
+            FROM c
         """,
     }

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "blocklist",
     # product-quantized ANN (m-byte codes + ADC lookup tables)
     "ivfpq_ann",
+    # overlapping context-window chunking (map-only explode)
+    "chunk_documents",
 ]
 
 

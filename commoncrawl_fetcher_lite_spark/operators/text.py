@@ -697,3 +697,62 @@ def normalize_text(
         norm.alias("norm_text"),
         (norm != F.col(text_col)).alias("changed"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into overlapping chunks — the
+    prep step for embedding models and retrieval context windows (chunk
+    i covers tokens [i·stride, i·stride + max_tokens), stride =
+    max_tokens − overlap). Output: (doc_id, chunk_idx, n_tokens,
+    chunk_text); empty documents produce no rows.
+
+    The chunk count per document is ceil((n − overlap) / stride) (min 1
+    for any non-empty doc) — every token is covered and consecutive
+    chunks share `overlap` tokens. All of it is one let-bound token
+    array + a posexplode over a bounded per-row sequence: map-only, no
+    shuffle, and the explode fan-out is n/stride rows per doc (the
+    output size a chunking step inherently produces — there is no
+    amplification beyond the overlap fraction)."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
+        )
+    stride = max_tokens - overlap
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+            )
+        )
+        return F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.least(n - i * stride, F.lit(max_tokens)).alias("n_tokens"),
+                    F.concat_ws(
+                        " ", F.slice(toks, i * stride + 1, max_tokens)
+                    ).alias("chunk_text"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<chunk_idx:int,n_tokens:int,chunk_text:string>>"
+            )
+        )
+
+    toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    return docs.select(
+        id_col, F.explode(let(toks_expr, _chunks)).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_text")

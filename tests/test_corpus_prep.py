@@ -254,3 +254,61 @@ def test_repetition_signals_dup_fraction(spark):
     r = repetition_signals(docs).collect()[0]
     assert abs(r.dup_5gram_frac - 4 / 8) < 1e-9
     assert r.dup_10gram_frac == 0.0
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_hand_computed(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, max_tokens=4, overlap=1).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    # doc 0: 10 tokens, stride 3 -> ceil(9/3)=3 chunks at 0,3,6
+    assert sorted(out[0]) == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+    assert out[1] == [(0, 2, "a b")]  # short doc: one partial chunk
+    assert 2 not in out  # empty doc: no rows
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(257))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in chunk_documents(docs, max_tokens=64, overlap=16).collect()
+    )
+    seen = set()
+    for idx, toks in rows:
+        assert toks[0] == f"w{idx * 48}"  # stride = 48
+        seen.update(toks)
+    assert seen == {f"w{i}" for i in range(257)}
+    # consecutive chunks share exactly `overlap` tokens (full chunks)
+    for (_, a), (_, b) in zip(rows, rows[1:]):
+        assert a[-16:] == b[:16] or len(b) < 64
+
+
+def test_chunk_documents_validates(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    for kw in ({"max_tokens": 0}, {"overlap": -1}, {"max_tokens": 8, "overlap": 8}):
+        with pytest.raises(ValueError):
+            chunk_documents(docs, **kw)
+
+
+def test_chunk_documents_is_map_only(spark):
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    assert "Exchange" not in _plan(chunk_documents(docs))
