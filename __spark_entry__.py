@@ -1310,6 +1310,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep flagship (the W4 scaling workload, oracle-checked):
+    Gopher gate via the in-scan gopher_gate predicate, then per-doc top-3
+    TF-IDF keywords over the surviving subcorpus (df and N computed on
+    survivors, matching a real pipeline's ordering). Exercises the
+    predicate form of the gate API; the scaling workload uses the
+    frame+join form — both shapes, one oracle-checked answer (shape
+    trade-offs: gopher_gate docstring)."""
+    from commoncrawl_fetcher_lite_spark.operators.text import gopher_gate, tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.where(gopher_gate(min_words=20))
+    return tfidf_topk(kept, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1372,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "ivfpq_ann": q_ivfpq_ann,
         "chunk_documents": q_chunk_documents,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -2484,7 +2500,7 @@ def oracle_sql() -> dict[str, str]:
             dt AS (SELECT doc_id, w, count(*) AS tf
                    FROM toks GROUP BY doc_id, w),
             dfq AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
-            n AS (SELECT count(*) AS n_docs FROM documents),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
             scored AS (
                 SELECT doc_id, dt.w AS term, tf,
                        ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
@@ -2645,5 +2661,68 @@ def oracle_sql() -> dict[str, str]:
                                               chunk_idx * 24 + 32),
                                    ' ') AS chunk_text
             FROM c
+        """,
+        # corpus_prep: the gopher gate (min_words=20) recomputed in SQL
+        # selects the subcorpus; tfidf (smoothed idf, rounded ranking) runs
+        # with df and N over SURVIVORS — the pipeline ordering a real
+        # corpus build uses
+        "corpus_prep": r"""
+            WITH toksall AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toksall),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, n),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM base WHERE n >= 2),
+            modal AS (
+                SELECT doc_id, max(cnt) AS best
+                FROM (SELECT doc_id, g, count(*) AS cnt
+                      FROM grams GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            feats AS (
+                SELECT b.doc_id, b.n,
+                       CASE WHEN n > 0 THEN
+                            list_sum(list_transform(t, x -> length(x)))
+                                * 1.0 / n ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN n > 0 THEN
+                            len(list_distinct(t)) * 1.0 / n
+                       ELSE 0.0 END AS distinct_frac,
+                       CASE WHEN n >= 2 THEN
+                            coalesce(m.best, 0) * 1.0 / (n - 1)
+                       ELSE 0.0 END AS top2gram_frac,
+                       CASE WHEN n > 0 THEN
+                            len(list_filter(t,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                                * 1.0 / n ELSE 0.0 END AS alpha_word_frac
+                FROM base b LEFT JOIN modal m USING (doc_id)),
+            keep AS (
+                SELECT doc_id FROM feats
+                WHERE n >= 20 AND n <= 100000
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND distinct_frac >= 0.30
+                  AND top2gram_frac <= 0.20
+                  AND alpha_word_frac >= 0.80),
+            toks AS (SELECT b.doc_id, unnest(b.t) AS w
+                     FROM base b JOIN keep USING (doc_id)),
+            dt AS (SELECT doc_id, w, count(*) AS tf
+                   FROM toks GROUP BY doc_id, w),
+            dfq AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+            nq AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+            scored AS (
+                SELECT doc_id, dt.w AS term, tf,
+                       ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                                   + 1.0), 6) AS score
+                FROM dt JOIN dfq USING (w) CROSS JOIN nq),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term ASC)
+                             AS rank
+                  FROM scored)
+            SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
     }

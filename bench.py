@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "ivfpq_ann",
     # overlapping context-window chunking (map-only explode)
     "chunk_documents",
+    # in-scan gopher gate + survivor tf-idf (the W4 scaling workload)
+    "corpus_prep",
 ]
 
 

@@ -397,6 +397,36 @@ def gopher_quality(
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     t = F.col(text_col)
+    _feats = _gopher_feats_fn(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        min_distinct_frac,
+        max_top2gram_frac,
+        min_alpha_word_frac,
+    )
+    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
+    return docs.select(
+        id_col, F.inline(F.array(let(toks_expr, _feats)))
+    )
+
+
+def _gopher_feats_fn(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    min_distinct_frac: float,
+    max_top2gram_frac: float,
+    min_alpha_word_frac: float,
+):
+    """Shared Gopher feature-struct builder (gopher_quality emits the
+    whole struct; gopher_gate projects just the verdict). The modal
+    bigram count uses the same run-length array arithmetic as
+    repetition_signals — the struct-accumulator fold it replaces was
+    measured ~5-6× slower."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
     def _feats(toks):
         n = F.size(toks)
@@ -419,7 +449,7 @@ def gopher_quality(
         ).otherwise(F.lit(0.0))
         # bigrams: zip toks with its own tail; concat nulls out the
         # padded last slot, filter drops it
-        grams = F.array_sort(
+        grams_expr = F.array_sort(
             F.filter(
                 F.zip_with(
                     toks,
@@ -429,45 +459,94 @@ def gopher_quality(
                 lambda g: g.isNotNull(),
             )
         )
-        # longest equal-run in the sorted bigram list == modal count
-        zero = F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        )
 
-        def _step(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-            )
+        def _from_grams(g):
+            L = F.size(g)
+            starts_expr = F.when(
+                L > 0,
+                F.filter(
+                    F.sequence(F.lit(1), L),
+                    lambda i: (i == F.lit(1))
+                    | (
+                        F.element_at(g, i)
+                        != F.element_at(g, F.greatest(i - 1, F.lit(1)))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
 
-        best = F.aggregate(grams, zero, _step, lambda acc: acc["best"])
-        top2 = F.when(
-            n >= 2, best.cast("double") / (n - 1).cast("double")
-        ).otherwise(F.lit(0.0))
-        gate = (
-            (n >= min_words)
-            & (n <= max_words)
-            & (mean_len >= min_mean_word_len)
-            & (mean_len <= max_mean_word_len)
-            & (distinct_frac >= min_distinct_frac)
-            & (top2 <= max_top2gram_frac)
-            & (alpha_frac >= min_alpha_word_frac)
-        )
-        return F.struct(
-            n.alias("n_words"),
-            mean_len.alias("mean_word_len"),
-            distinct_frac.alias("distinct_frac"),
-            top2.alias("top2gram_frac"),
-            alpha_frac.alias("alpha_word_frac"),
-            gate.alias("gopher_pass"),
-        )
+            def _from_starts(st):
+                k = F.size(st)
+                ext = F.concat(st, F.array(L + 1))
+                runs = F.zip_with(
+                    F.slice(ext, 1, k), F.slice(ext, 2, k), lambda a, b: b - a
+                )
+                best = F.coalesce(F.array_max(runs), F.lit(0))
+                top2 = F.when(
+                    n >= 2, best.cast("double") / (n - 1).cast("double")
+                ).otherwise(F.lit(0.0))
+                gate = (
+                    (n >= min_words)
+                    & (n <= max_words)
+                    & (mean_len >= min_mean_word_len)
+                    & (mean_len <= max_mean_word_len)
+                    & (distinct_frac >= min_distinct_frac)
+                    & (top2 <= max_top2gram_frac)
+                    & (alpha_frac >= min_alpha_word_frac)
+                )
+                return F.struct(
+                    n.alias("n_words"),
+                    mean_len.alias("mean_word_len"),
+                    distinct_frac.alias("distinct_frac"),
+                    top2.alias("top2gram_frac"),
+                    alpha_frac.alias("alpha_word_frac"),
+                    gate.alias("gopher_pass"),
+                )
 
-    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
-    return docs.select(
-        id_col, F.inline(F.array(let(toks_expr, _feats)))
+            return let(starts_expr, _from_starts)
+
+        return let(grams_expr, _from_grams)
+
+    return _feats
+
+
+def gopher_gate(
+    text_col: str | Column = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_distinct_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    min_alpha_word_frac: float = 0.80,
+) -> Column:
+    """gopher_quality's pass verdict as a pure predicate Column for
+    `.where()` — the gate stays INSIDE the scan, zero shuffle.
+
+    Shape guidance (measured, BENCH/BASELINE.md corpus-prep section):
+    for filter → map-only sinks (gate → write, gate → chunk) this
+    predicate form is strictly better — no exchange at all. For a
+    MULTI-BRANCH consumer (tfidf_topk's dt/dfq/N branches), every branch
+    re-evaluates an in-scan predicate unless an exchange below it gets
+    reused — there, deriving gopher_quality's (doc_id, pass) frame and
+    semi-joining the ids back was measured FASTER locally (the join's
+    exchange materializes the verdict once; 8-core leg 14.8 s vs 18.4 s).
+    On a multi-node cluster the trade tilts back toward the predicate as
+    network-shuffle cost rises against free-scaling recompute — both
+    forms exist so the deployment can pick."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    _feats = _gopher_feats_fn(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        min_distinct_frac,
+        max_top2gram_frac,
+        min_alpha_word_frac,
     )
+    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
+    return let(toks_expr, lambda toks: _feats(toks)["gopher_pass"])
 
 
 def repetition_signals(
@@ -610,7 +689,17 @@ def tfidf_topk(
     on term; the final top-k is a window partitioned by doc_id whose
     groups are bounded by per-doc DISTINCT terms (~10^4 worst case), not
     corpus size — WindowGroupLimit prunes to k per group before the sort
-    output materializes. No stage buffers anything corpus-sized."""
+    output materializes. No stage buffers anything corpus-sized.
+
+    N counts documents containing >= 1 token and is derived from the
+    (doc, term) frame, NOT a separate docs.count() branch: every branch
+    of this plan hangs below dt's exchange, which Spark materializes
+    once and reuses (ReusedExchange) — so the corpus scan AND any
+    upstream filter predicate (e.g. an in-scan gopher_gate, whose
+    let-bound token features are expensive) evaluate exactly once. The
+    first cut aggregated N off `docs` directly; that branch re-scanned
+    and re-gated the whole corpus, measured +30% on the corpus-prep
+    scaling workload."""
     if k < 1:
         raise ValueError("tfidf_topk: k must be >= 1")
     from pyspark.sql import Window
@@ -621,7 +710,7 @@ def tfidf_topk(
     )
     dt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         dt.join(dfreq, "w")
         .crossJoin(F.broadcast(n_docs))

@@ -31,8 +31,10 @@ import time
 N_SEEDS = int(os.environ.get("SCALING_SEEDS", "4000000"))
 N_CDX_LINES = int(os.environ.get("SCALING_CDX_LINES", "2000000"))
 N_CDX_FILES = 32
+N_DOCS = int(os.environ.get("SCALING_DOCS", "100000"))
 CDX_DIR = os.environ.get("SCALING_CDX_DIR", "/tmp/ccspark_bench_cdx")
 SEED_DIR = os.environ.get("SCALING_SEED_DIR", "/tmp/ccspark_bench_seeds")
+DOC_DIR = os.environ.get("SCALING_DOC_DIR", "/tmp/ccspark_bench_docs")
 # N vs 4N parallelism levels. Default (2,8): this box has 32 physical
 # cores but its memory bandwidth saturates string-scan workloads around
 # 16 threads (measured: map-only scan 2.5M urls/s at 16 ≈ 2.9M at 32), so
@@ -212,6 +214,70 @@ def workload_frontier_diet(spark) -> float:
     return time.perf_counter() - t0
 
 
+def gen_doc_files(spark) -> None:
+    """One-time synthetic corpus for W4: N_DOCS docs of ~80 tokens drawn
+    deterministically from a 500-word vocab (xxhash64 of (doc, pos) —
+    rerun-stable), written as 32 parquet files so both levels get full
+    scan parallelism."""
+    from pyspark.sql import functions as F
+
+    if _gen_is_current(DOC_DIR, N_DOCS):
+        return
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(80)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.xxhash64(F.col("id"), i) % 500).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DOC_DIR, "docs")
+    )
+    _mark_gen(DOC_DIR, N_DOCS)
+
+
+def workload_corpus(spark) -> float:
+    """W4: the training-data corpus-prep composition over N_DOCS docs —
+    Gopher shape gate, per-doc top-3 TF-IDF keywords (two
+    map-side-combined groupBys + term join + bounded window), and
+    overlapping context-window chunking (map-only explode). Exercises
+    both halves of the §8 text stack: scan-side HOF CPU scaling AND the
+    explode/groupBy shuffle scaling that the frontier workloads don't
+    touch.
+
+    Gate shape: gopher_quality frame + doc_id semi-join — measured
+    fastest locally for this MULTI-BRANCH consumer (the join's exchange
+    materializes the verdict once; the in-scan gopher_gate predicate
+    variant re-evaluated the gate per plan branch: 8-core leg 18.4 s vs
+    14.8 s — raw logs BENCH/scaling_r5_corpus_*_raw.log). Efficiency for
+    this workload is bounded by the HOF allocation ceiling, not plan
+    shape: the map-only gate ALONE (zero shuffles) measures ~0.64 on
+    this box (gopher_gate docstring + BENCH/BASELINE.md)."""
+    from commoncrawl_fetcher_lite_spark.operators.text import (
+        chunk_documents,
+        gopher_quality,
+        tfidf_topk,
+    )
+
+    docs = spark.read.parquet(os.path.join(DOC_DIR, "docs"))
+    t0 = time.perf_counter()
+    kept = docs.join(
+        gopher_quality(docs, min_words=20).where("gopher_pass").select("doc_id"),
+        "doc_id",
+    )
+    tfidf_topk(kept, k=3).write.format("noop").mode("overwrite").save()
+    chunk_documents(docs, max_tokens=32, overlap=8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def workload_scan(spark) -> float:
     """W3: map-only scan-side work — canonicalize+hash+selector predicate
     over synthetic URLs, ZERO shuffles (explain shows one WholeStageCodegen
@@ -269,6 +335,14 @@ def workload_cdx(spark) -> float:
 
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
+# comma-list subset of workloads to time (e.g. SCALING_ONLY=corpus for a
+# focused re-measure); excluded workloads report rate 0 / eff 0.0
+ONLY = {
+    w
+    for w in os.environ.get("SCALING_ONLY", "frontier,diet,cdx,scan,corpus").split(",")
+    if w
+}
+
 
 def _loadavg() -> float:
     with open("/proc/loadavg") as f:
@@ -295,18 +369,24 @@ def run_level(cpus: int) -> dict:
     )
     gen_cdx_files(spark)
     gen_seed_files(spark)
+    gen_doc_files(spark)
     # warm-up pass (JVM JIT, file listing + seed parquet footers)
     spark.range(1000).count()
     spark.read.parquet(os.path.join(SEED_DIR, "seeds")).count()
     loads = [_loadavg()]
-    t_frontier = min(workload_frontier(spark) for _ in range(REPS))
-    loads.append(_loadavg())
-    t_diet = min(workload_frontier_diet(spark) for _ in range(REPS))
-    loads.append(_loadavg())
-    t_cdx = min(workload_cdx(spark) for _ in range(REPS))
-    loads.append(_loadavg())
-    t_scan = min(workload_scan(spark) for _ in range(REPS))
-    loads.append(_loadavg())
+
+    def _time(name: str, fn) -> float:
+        if name not in ONLY:
+            return float("inf")  # excluded: rate rounds to 0 below
+        t = min(fn(spark) for _ in range(REPS))
+        loads.append(_loadavg())
+        return t
+
+    t_frontier = _time("frontier", workload_frontier)
+    t_diet = _time("diet", workload_frontier_diet)
+    t_cdx = _time("cdx", workload_cdx)
+    t_scan = _time("scan", workload_scan)
+    t_corpus = _time("corpus", workload_corpus)
     out = {
         "cpus": cpus,
         "frontier_sec": round(t_frontier, 3),
@@ -317,6 +397,8 @@ def run_level(cpus: int) -> dict:
         "cdx_lines_per_sec": round(N_CDX_LINES / t_cdx, 1),
         "scan_sec": round(t_scan, 3),
         "scan_urls_per_sec": round(N_SEEDS / t_scan, 1),
+        "corpus_sec": round(t_corpus, 3),
+        "corpus_docs_per_sec": round(N_DOCS / t_corpus, 1),
         "loadavg_samples": loads,
     }
     spark.stop()
@@ -388,26 +470,19 @@ def main() -> None:
         res_n4 = _run_worker(n4)
         _gate(cooldown)
         res_n = _run_worker(n)
+
+        def _eff(key: str) -> float:
+            lo = res_n.get(key) or 0.0
+            hi = res_n4.get(key) or 0.0
+            return round(hi / lo / ratio, 3) if lo else 0.0
+
         pair = {
             "attempt": attempt,
-            "eff_frontier": round(
-                (res_n4["frontier_urls_per_sec"] / res_n["frontier_urls_per_sec"])
-                / ratio,
-                3,
-            ),
-            "eff_diet": round(
-                (res_n4.get("diet_urls_per_sec", 0) / res_n.get("diet_urls_per_sec", 1))
-                / ratio,
-                3,
-            ),
-            "eff_cdx": round(
-                (res_n4["cdx_lines_per_sec"] / res_n["cdx_lines_per_sec"]) / ratio, 3
-            ),
-            "eff_scan": round(
-                (res_n4.get("scan_urls_per_sec", 0) / res_n.get("scan_urls_per_sec", 1))
-                / ratio,
-                3,
-            ),
+            "eff_frontier": _eff("frontier_urls_per_sec"),
+            "eff_diet": _eff("diet_urls_per_sec"),
+            "eff_cdx": _eff("cdx_lines_per_sec"),
+            "eff_scan": _eff("scan_urls_per_sec"),
+            "eff_corpus": _eff("corpus_docs_per_sec"),
             "level_n": res_n,
             "level_n4": res_n4,
         }
@@ -429,6 +504,7 @@ def main() -> None:
     eff_diet = _median([p.get("eff_diet", 0.0) for p in use])
     eff_cdx = _median([p["eff_cdx"] for p in use])
     eff_scan = _median([p.get("eff_scan", 0.0) for p in use])
+    eff_corpus = _median([p.get("eff_corpus", 0.0) for p in use])
 
     # leg-median efficiency: median rate per LEG first, then the ratio —
     # robust to a single contended leg poisoning its pair (a pair ratio
@@ -446,14 +522,17 @@ def main() -> None:
         "efficiency_diet": round(eff_diet, 3),
         "efficiency_cdx": round(eff_cdx, 3),
         "efficiency_scan": round(eff_scan, 3),
+        "efficiency_corpus": round(eff_corpus, 3),
         "efficiency_frontier_legmedian": _leg_eff("frontier_urls_per_sec"),
         "efficiency_diet_legmedian": _leg_eff("diet_urls_per_sec"),
         "efficiency_cdx_legmedian": _leg_eff("cdx_lines_per_sec"),
         "efficiency_scan_legmedian": _leg_eff("scan_urls_per_sec"),
+        "efficiency_corpus_legmedian": _leg_eff("corpus_docs_per_sec"),
         "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
         "efficiency_diet_all": [p.get("eff_diet") for p in pairs],
         "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],
         "efficiency_scan_all": [p.get("eff_scan") for p in pairs],
+        "efficiency_corpus_all": [p.get("eff_corpus") for p in pairs],
     }
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
@@ -485,6 +564,7 @@ rested on a single pair — this protocol is the n>=3 upgrade).
 | frontier schedule, SHUFFLE-BYTE DIET (same job, 24 B skinny frame through every exchange, late payload join — frontier/diet.py) | **{eff_diet:.2f}** |
 | cdx pipeline ({N_CDX_LINES:,} gz lines: scan, parse P1-P3, selector, CountMimes) | **{eff_cdx:.2f}** |
 | map-only scan (canonicalize+hash+filter, ZERO shuffles) | **{eff_scan:.2f}** |
+| corpus prep ({N_DOCS:,} docs: Gopher gate, top-3 TF-IDF, overlap chunking) | **{eff_corpus:.2f}** |
 
 Efficiency = (urls/s at {n4} cores / urls/s at {n} cores) / {ratio:.0f}.
 North-rule target ≥ 0.8.
