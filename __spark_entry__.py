@@ -1280,7 +1280,9 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "domain string, category string",
     )
-    return tag_blocked(cands, bl)
+    # broadcast_verdict=True: the synthetic verdict frame has no Catalyst
+    # stats, so the auto gate would plan a shuffle join for 3 rows
+    return tag_blocked(cands, bl, broadcast_verdict=True)
 
 
 def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,17 +46,31 @@ def tag_blocked(
     list_host_col: str = "domain",
     category_col: str = "category",
     min_labels: int = 2,
+    broadcast_verdict: bool | None = None,
 ) -> DataFrame:
     """Adds (blocked, block_domain, block_category) to every candidate
     row: blocked iff the host or any parent domain appears in the
     blocklist; on multiple matches the LONGEST (most specific) domain
     wins — so an 'example.com' -> ads row and a 'shop.example.com' ->
     commerce row tag shop.example.com as commerce, everything else under
-    example.com as ads. Candidate columns pass through untouched.
+    example.com as ads. If a list carries the SAME domain under several
+    categories (UT1 category files genuinely overlap), the
+    lexicographically smallest category wins — one struct-min aggregate,
+    so the verdict is a pure function of the list (rerun/partitioning
+    invariant, like every other operator here), never an arbitrary
+    min_by tie.
 
     The blocklist frame is (domain, category); it is always broadcast —
     by construction it is the small dim (a list large enough to defeat
-    broadcast belongs in the bucketed urlseen machinery instead)."""
+    broadcast belongs in the bucketed urlseen machinery instead). The
+    per-HOST verdict frame is NOT force-broadcast: its size is bounded
+    by candidate host diversity (every subdomain of a blocked domain is
+    a distinct row — tens of millions is realistic at crawl scale), so
+    it goes through the stats-gated maybe_broadcast and degrades to a
+    shuffle join when it outgrows the threshold. `broadcast_verdict`
+    overrides the gate (True/False) for callers whose verdict frame has
+    no Catalyst stats but a known size — the apply_robots(broadcast=)
+    pattern."""
     cand_cols = candidates.columns
     if host_col not in cand_cols:
         raise ValueError(f"tag_blocked: candidates lack {host_col!r}")
@@ -80,19 +94,32 @@ def tag_blocked(
         )
     )
     # most-specific match = suffix generated earliest (pos 0 is the full
-    # host); min_by over the bounded per-host group picks it.
+    # host); one struct-min is lexicographic over (pos, category, domain),
+    # so category ties on the same domain resolve deterministically
     matched = (
         exploded.join(bl, exploded["_sfx"] == bl["_bl_domain"])
         .groupBy(host_col)
         .agg(
-            F.min_by("_bl_domain", "_sfx_pos").alias("block_domain"),
-            F.min_by("_bl_category", "_sfx_pos").alias("block_category"),
+            F.min(
+                F.struct(
+                    F.col("_sfx_pos"), F.col("_bl_category"), F.col("_bl_domain")
+                )
+            ).alias("_best")
+        )
+        .select(
+            host_col,
+            F.col("_best._bl_domain").alias("block_domain"),
+            F.col("_best._bl_category").alias("block_category"),
         )
     )
-    # join the per-HOST verdict back (hosts repeat across candidates; the
-    # verdict frame is at most |distinct hosts| and usually tiny after the
-    # blocklist intersection, so this is a second broadcast)
-    out = candidates.join(F.broadcast(matched), host_col, "left")
+    from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
+
+    # join the per-HOST verdict back; stats-gated broadcast (see docstring)
+    if broadcast_verdict is True:
+        matched = F.broadcast(matched)
+    elif broadcast_verdict is None:
+        matched = maybe_broadcast(matched)
+    out = candidates.join(matched, host_col, "left")
     return out.select(
         *cand_cols,
         F.col("block_domain").isNotNull().alias("blocked"),
@@ -108,6 +135,7 @@ def filter_blocked(
     list_host_col: str = "domain",
     category_col: str = "category",
     min_labels: int = 2,
+    broadcast_verdict: bool | None = None,
 ) -> DataFrame:
     """Drops blocked candidates (the fetch-path gate); column set is
     unchanged. Use tag_blocked when the categories themselves feed a
@@ -119,5 +147,6 @@ def filter_blocked(
         list_host_col=list_host_col,
         category_col=category_col,
         min_labels=min_labels,
+        broadcast_verdict=broadcast_verdict,
     )
     return tagged.where(~F.col("blocked")).select(*candidates.columns)

@@ -134,8 +134,10 @@ def scrub_documents(
 
 
 # href values from <a> tags; group 1 is the raw link. Lazy [^>]*? keeps
-# the scan inside one tag; fragments-only links excluded by [^"'#>].
-_RE_HREF = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'#>]+)["']"""
+# the scan inside one tag. Fragments are STRIPPED after capture (a '#'
+# in the value class would reject the whole URL, not just the fragment);
+# fragment-only links strip to '' and are dropped.
+_RE_HREF = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'>]+)["']"""
 
 
 def extract_links(
@@ -149,13 +151,15 @@ def extract_links(
     into the frontier, where the existing seen anti-join dedupes).
 
     Resolution is the subset a crawler meets overwhelmingly often, all
-    pure Catalyst: absolute http(s) kept as-is, protocol-relative //
+    pure Catalyst: fragments stripped first (fragment-only links strip
+    to '' and drop), absolute http(s) kept, protocol-relative //
     prefixed with the base URL's scheme, root-relative / prefixed with
     scheme://host, and everything else — other schemes (mailto:,
-    javascript:, ftp:) and non-root relative paths (page.html, ../x) —
-    dropped rather than resolved wrong. Honest scope cut, documented
-    here; a full RFC 3986 resolver would be a mapInPandas stage on the
-    same frame.
+    javascript:, ftp:), non-root relative paths (page.html, ../x), and
+    ALL relative forms when the base URL itself has no http(s) scheme
+    (no origin to resolve against) — dropped rather than resolved wrong.
+    Honest scope cut, documented here; a full RFC 3986 resolver would be
+    a mapInPandas stage on the same frame.
 
     Scale note: this is a generator (explode) on the map side — no
     shuffle here; the fanout lands in the frontier merge where
@@ -163,16 +167,21 @@ def extract_links(
     base = F.col(base_col)
     scheme = F.regexp_extract(base, r"^(https?):", 1)
     origin = F.concat(scheme, F.lit("://"), F.regexp_extract(base, r"^https?://([^/]+)", 1))
+    has_base = scheme != F.lit("")
     raw = F.array_distinct(
         F.regexp_extract_all(F.col(html_col), F.lit(_RE_HREF), 1)
     )
-    resolved = F.transform(
-        raw,
-        lambda l: F.when(l.rlike("^https?://"), l)
-        .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
-        .when(l.startswith("/"), F.concat(origin, l))
-        .otherwise(F.lit(None)),
-    )
+
+    def _resolve(l0):
+        l = F.regexp_replace(l0, "#.*$", "")
+        return (
+            F.when(l.rlike("^https?://"), l)
+            .when(l.startswith("//") & has_base, F.concat(scheme, F.lit(":"), l))
+            .when(l.startswith("/") & has_base, F.concat(origin, l))
+            .otherwise(F.lit(None))
+        )
+
+    resolved = F.transform(raw, _resolve)
     return (
         docs.select(
             F.col(id_col),

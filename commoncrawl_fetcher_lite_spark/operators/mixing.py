@@ -36,12 +36,22 @@ from pyspark.sql import functions as F
 _U32 = float(1 << 32)
 
 
+def _md5_hex(key: Column, seed: int, lane: str) -> Column:
+    """md5 hex of '<key>:<lane>:<seed>' — the seeded-lane key format every
+    mixing decision (and its DuckDB oracle twin) derives from. Lane
+    separates independent decisions on the same key (epoch gate vs shard
+    placement vs holdout)."""
+    return F.md5(F.concat_ws(":", key.cast("string"), F.lit(lane), F.lit(str(seed))))
+
+
+def _md5_u32(key: Column, seed: int, lane: str) -> Column:
+    """First 8 hex chars of the lane hash as an integer in [0, 2^32)."""
+    return F.conv(F.substring(_md5_hex(key, seed, lane), 1, 8), 16, 10).cast("long")
+
+
 def _md5_unit(key: Column, seed: int, lane: str) -> Column:
-    """Deterministic uniform [0,1) from (key, seed, lane): the first 8 hex
-    chars of md5 as an integer over 2^32. Lane separates independent
-    decisions on the same key (epoch gate vs shard placement)."""
-    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(lane), F.lit(str(seed))))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_U32)
+    """Deterministic uniform [0,1) from (key, seed, lane)."""
+    return _md5_u32(key, seed, lane).cast("double") / F.lit(_U32)
 
 
 def mix_corpus(
@@ -132,21 +142,8 @@ def shard_shuffle(
     if n_shards < 1:
         raise ValueError("shard_shuffle: n_shards must be >= 1")
     key = F.col(id_col)
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", key.cast("string"), F.lit("shard"), F.lit(str(seed)))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(n_shards)
-    ).alias("shard_id")
-    order_key = F.md5(
-        F.concat_ws(":", key.cast("string"), F.lit("order"), F.lit(str(seed)))
-    )
+    shard = (_md5_u32(key, seed, "shard") % F.lit(n_shards)).alias("shard_id")
+    order_key = _md5_hex(key, seed, "order")
     out = df.select("*", shard, order_key.alias("_ord"))
     w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), key)
     return out.withColumn(

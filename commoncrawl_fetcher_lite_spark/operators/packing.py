@@ -55,6 +55,8 @@ def pack_sequences(
     Zero-token documents (empty text) are dropped — they contribute no
     stream positions and `seq_first` would be ill-defined.
     """
+    if seq_len < 1:
+        raise ValueError(f"pack_sequences: seq_len must be >= 1, got {seq_len}")
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

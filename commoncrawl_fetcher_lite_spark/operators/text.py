@@ -412,6 +412,56 @@ def gopher_quality(
     )
 
 
+def _modal_run_stats(grams_expr: Column, body) -> Column:
+    """Equal-run statistics over a SORTED gram array via run-length
+    arithmetic, shared by gopher's modal-bigram feature and
+    repetition_signals: run starts = positions where the sorted list
+    changes, run lengths = adjacent-start differences. Calls
+    `body(best, dup)` with the modal run length and the count of
+    occurrences inside runs of length >= 2. Every intermediate
+    (grams, starts, runs) is let-bound so it evaluates exactly once per
+    row — the struct-accumulator F.aggregate fold this replaces measured
+    ~5-6× slower (interpreted per-element struct rebuilds, re-run per
+    downstream reference).
+
+    The i-1 lookup is guarded with greatest(): Catalyst OR does not
+    short-circuit, and ANSI element_at(g, 0) throws — the i==1 disjunct
+    already decides that element, the guard only keeps the index legal."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    def _from_grams(g):
+        L = F.size(g)
+        starts_expr = F.when(
+            L > 0,
+            F.filter(
+                F.sequence(F.lit(1), L),
+                lambda i: (i == F.lit(1))
+                | (
+                    F.element_at(g, i)
+                    != F.element_at(g, F.greatest(i - 1, F.lit(1)))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def _from_starts(st):
+            k = F.size(st)
+            ext = F.concat(st, F.array(L + 1))
+            runs_expr = F.zip_with(
+                F.slice(ext, 1, k), F.slice(ext, 2, k), lambda a, b: b - a
+            )
+
+            def _from_runs(r):
+                best = F.coalesce(F.array_max(r), F.lit(0))
+                dup = L - F.size(F.filter(r, lambda x: x == 1))
+                return body(best, dup)
+
+            return let(runs_expr, _from_runs)
+
+        return let(starts_expr, _from_starts)
+
+    return let(grams_expr, _from_grams)
+
+
 def _gopher_feats_fn(
     min_words: int,
     max_words: int,
@@ -423,10 +473,7 @@ def _gopher_feats_fn(
 ):
     """Shared Gopher feature-struct builder (gopher_quality emits the
     whole struct; gopher_gate projects just the verdict). The modal
-    bigram count uses the same run-length array arithmetic as
-    repetition_signals — the struct-accumulator fold it replaces was
-    measured ~5-6× slower."""
-    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+    bigram count rides the shared _modal_run_stats machinery."""
 
     def _feats(toks):
         n = F.size(toks)
@@ -460,51 +507,29 @@ def _gopher_feats_fn(
             )
         )
 
-        def _from_grams(g):
-            L = F.size(g)
-            starts_expr = F.when(
-                L > 0,
-                F.filter(
-                    F.sequence(F.lit(1), L),
-                    lambda i: (i == F.lit(1))
-                    | (
-                        F.element_at(g, i)
-                        != F.element_at(g, F.greatest(i - 1, F.lit(1)))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<int>"))
+        def _build(best, dup):
+            top2 = F.when(
+                n >= 2, best.cast("double") / (n - 1).cast("double")
+            ).otherwise(F.lit(0.0))
+            gate = (
+                (n >= min_words)
+                & (n <= max_words)
+                & (mean_len >= min_mean_word_len)
+                & (mean_len <= max_mean_word_len)
+                & (distinct_frac >= min_distinct_frac)
+                & (top2 <= max_top2gram_frac)
+                & (alpha_frac >= min_alpha_word_frac)
+            )
+            return F.struct(
+                n.alias("n_words"),
+                mean_len.alias("mean_word_len"),
+                distinct_frac.alias("distinct_frac"),
+                top2.alias("top2gram_frac"),
+                alpha_frac.alias("alpha_word_frac"),
+                gate.alias("gopher_pass"),
+            )
 
-            def _from_starts(st):
-                k = F.size(st)
-                ext = F.concat(st, F.array(L + 1))
-                runs = F.zip_with(
-                    F.slice(ext, 1, k), F.slice(ext, 2, k), lambda a, b: b - a
-                )
-                best = F.coalesce(F.array_max(runs), F.lit(0))
-                top2 = F.when(
-                    n >= 2, best.cast("double") / (n - 1).cast("double")
-                ).otherwise(F.lit(0.0))
-                gate = (
-                    (n >= min_words)
-                    & (n <= max_words)
-                    & (mean_len >= min_mean_word_len)
-                    & (mean_len <= max_mean_word_len)
-                    & (distinct_frac >= min_distinct_frac)
-                    & (top2 <= max_top2gram_frac)
-                    & (alpha_frac >= min_alpha_word_frac)
-                )
-                return F.struct(
-                    n.alias("n_words"),
-                    mean_len.alias("mean_word_len"),
-                    distinct_frac.alias("distinct_frac"),
-                    top2.alias("top2gram_frac"),
-                    alpha_frac.alias("alpha_word_frac"),
-                    gate.alias("gopher_pass"),
-                )
-
-            return let(starts_expr, _from_starts)
-
-        return let(grams_expr, _from_grams)
+        return _modal_run_stats(grams_expr, _build)
 
     return _feats
 
@@ -587,8 +612,8 @@ def repetition_signals(
         raise ValueError("repetition_signals: ns/thresholds length mismatch")
 
     def _run_stats(toks: Column, n: int) -> Column:
-        """struct(best, dup, total) over the doc's n-grams via run-length
-        arithmetic on the sorted gram array (each stage let-bound)."""
+        """struct(best, dup, total) over the doc's n-grams via the shared
+        _modal_run_stats run-length machinery."""
         total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
         grams_expr = F.array_sort(
             F.when(
@@ -599,46 +624,12 @@ def repetition_signals(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-
-        def _from_grams(g: Column) -> Column:
-            L = F.size(g)
-            # 1-based positions where a new equal-run begins; the
-            # greatest() keeps the i-1 lookup in bounds at i=1 (the i==1
-            # disjunct already decides that element, but Catalyst OR does
-            # not short-circuit and ANSI element_at(g, 0) throws)
-            starts_expr = F.when(
-                L > 0,
-                F.filter(
-                    F.sequence(F.lit(1), L),
-                    lambda i: (i == F.lit(1))
-                    | (
-                        F.element_at(g, i)
-                        != F.element_at(g, F.greatest(i - 1, F.lit(1)))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<int>"))
-
-            def _from_starts(st: Column) -> Column:
-                k = F.size(st)
-                ext = F.concat(st, F.array(L + 1))
-                runs_expr = F.zip_with(
-                    F.slice(ext, 1, k), F.slice(ext, 2, k), lambda a, b: b - a
-                )
-
-                def _from_runs(r: Column) -> Column:
-                    return F.struct(
-                        F.coalesce(F.array_max(r), F.lit(0)).alias("best"),
-                        (L - F.size(F.filter(r, lambda x: x == 1))).alias(
-                            "dup"
-                        ),
-                        total.alias("total"),
-                    )
-
-                return let(runs_expr, _from_runs)
-
-            return let(starts_expr, _from_starts)
-
-        return let(grams_expr, _from_grams)
+        return _modal_run_stats(
+            grams_expr,
+            lambda best, dup: F.struct(
+                best.alias("best"), dup.alias("dup"), total.alias("total")
+            ),
+        )
 
     specs = [("top", n, thr) for n, thr in zip(top_ns, top_thresholds)] + [
         ("dup", n, thr) for n, thr in zip(dup_ns, dup_thresholds)

@@ -132,7 +132,12 @@ def main() -> None:
                 break
         grow = rows[-1]["seen_total"] / max(rows[0]["seen_total"], 1)
         io_grow = rows[-1]["bytes_written"] / max(rows[0]["bytes_written"], 1)
+        # `or rows[...]` keeps both halves non-empty when only one
+        # iteration ran (INC_ITERS=1 or an early empty-frontier break) —
+        # a degenerate 1.0x plateau beats an IndexError after a full run
         half = len(rows) // 2
+        first_half = rows[:half] or rows[:1]
+        second_half = rows[half:] or rows[-1:]
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         print(
             json.dumps(
@@ -144,8 +149,8 @@ def main() -> None:
                     # vs first-half — flat curves stay ~1.0x even as the
                     # seen set keeps growing linearly
                     "disk_bytes_plateau_x": round(
-                        med([r["disk_bytes"] for r in rows[half:]])
-                        / max(med([r["disk_bytes"] for r in rows[:half]]), 1),
+                        med([r["disk_bytes"] for r in second_half])
+                        / max(med([r["disk_bytes"] for r in first_half]), 1),
                         2,
                     ),
                     "read_amp_max": max(

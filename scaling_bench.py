@@ -375,12 +375,18 @@ def run_level(cpus: int) -> dict:
     spark.read.parquet(os.path.join(SEED_DIR, "seeds")).count()
     loads = [_loadavg()]
 
-    def _time(name: str, fn) -> float:
+    def _time(name: str, fn) -> float | None:
         if name not in ONLY:
-            return float("inf")  # excluded: rate rounds to 0 below
+            return None  # excluded: sec reported null, rate 0.0
         t = min(fn(spark) for _ in range(REPS))
         loads.append(_loadavg())
         return t
+
+    def _sec(t: float | None):
+        return round(t, 3) if t is not None else None
+
+    def _rate(n: int, t: float | None) -> float:
+        return round(n / t, 1) if t else 0.0
 
     t_frontier = _time("frontier", workload_frontier)
     t_diet = _time("diet", workload_frontier_diet)
@@ -389,16 +395,16 @@ def run_level(cpus: int) -> dict:
     t_corpus = _time("corpus", workload_corpus)
     out = {
         "cpus": cpus,
-        "frontier_sec": round(t_frontier, 3),
-        "frontier_urls_per_sec": round(N_SEEDS / t_frontier, 1),
-        "diet_sec": round(t_diet, 3),
-        "diet_urls_per_sec": round(N_SEEDS / t_diet, 1),
-        "cdx_sec": round(t_cdx, 3),
-        "cdx_lines_per_sec": round(N_CDX_LINES / t_cdx, 1),
-        "scan_sec": round(t_scan, 3),
-        "scan_urls_per_sec": round(N_SEEDS / t_scan, 1),
-        "corpus_sec": round(t_corpus, 3),
-        "corpus_docs_per_sec": round(N_DOCS / t_corpus, 1),
+        "frontier_sec": _sec(t_frontier),
+        "frontier_urls_per_sec": _rate(N_SEEDS, t_frontier),
+        "diet_sec": _sec(t_diet),
+        "diet_urls_per_sec": _rate(N_SEEDS, t_diet),
+        "cdx_sec": _sec(t_cdx),
+        "cdx_lines_per_sec": _rate(N_CDX_LINES, t_cdx),
+        "scan_sec": _sec(t_scan),
+        "scan_urls_per_sec": _rate(N_SEEDS, t_scan),
+        "corpus_sec": _sec(t_corpus),
+        "corpus_docs_per_sec": _rate(N_DOCS, t_corpus),
         "loadavg_samples": loads,
     }
     spark.stop()

@@ -211,10 +211,26 @@ def test_filter_blocked_drops_and_keeps_columns(cands, bl):
 
 
 def test_blocklist_join_is_broadcast(cands, bl):
-    plan = _plan(tag_blocked(cands, bl))
+    # broadcast_verdict=True: test frames have no Catalyst stats, so the
+    # auto gate would plan a shuffle join (functions/joins.py contract)
+    plan = _plan(tag_blocked(cands, bl, broadcast_verdict=True))
     assert "BroadcastHashJoin" in plan
     # candidate frame must not hash-exchange for the verdict join
     assert plan.count("Exchange hashpartitioning") <= 1  # only the host distinct
+
+
+def test_blocklist_duplicate_category_rows_are_deterministic(cands, spark):
+    """UT1 category files overlap: the same domain listed under two
+    categories must resolve to ONE deterministic verdict (smallest
+    category), not an arbitrary min_by tie."""
+    dup = spark.createDataFrame(
+        [("example.com", "porn"), ("example.com", "ads")],
+        "domain string, category string",
+    )
+    for df in (dup, dup.repartition(3)):
+        out = {r.cand_id: r.block_category for r in tag_blocked(cands, df).collect()}
+        assert out[2] == "ads"
+        assert out[0] == "ads"  # suffix match inherits the same tie rule
 
 
 # --------------------------------------------------- repetition signals

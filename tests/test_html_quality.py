@@ -152,6 +152,41 @@ def test_extract_links_resolution(spark):
     )
 
 
+def test_extract_links_fragments_and_schemeless_base(spark):
+    from commoncrawl_fetcher_lite_spark.operators.html import extract_links
+
+    docs = spark.createDataFrame(
+        [
+            # fragment stripped, URL kept (a '#' must not reject the link)
+            (
+                1,
+                "https://a.example.com/p",
+                '<a href="https://b.example.org/page#section">1</a>'
+                '<a href="/y#top">2</a>'
+                '<a href="#only-fragment">3</a>',
+            ),
+            # base without an http(s) scheme: no origin to resolve
+            # against — relative forms DROP instead of emitting '://…'
+            (
+                2,
+                "example.com/page",
+                '<a href="//cdn.example.net/x">1</a>'
+                '<a href="/abs">2</a>'
+                '<a href="https://ok.example.org/k">3</a>',
+            ),
+        ],
+        "doc_id long, url string, html string",
+    )
+    got = sorted((r["doc_id"], r["url"]) for r in extract_links(docs).collect())
+    assert got == sorted(
+        [
+            (1, "https://b.example.org/page"),
+            (1, "https://a.example.com/y"),
+            (2, "https://ok.example.org/k"),
+        ]
+    )
+
+
 def test_link_discovery_feeds_frontier(spark, tmp_path):
     """run_iteration with a fetch_fn emitting a `links` column: the
     discovered outlinks must join the frontier and be schedulable in the

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from commoncrawl_fetcher_lite_spark.operators.dedup import (
@@ -187,3 +189,11 @@ def test_duplicate_spans_stop_fingerprint_cap(spark):
     # (pinned offline)
     assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(20, 21)]
     assert pairs[0]["n_shared"] == 1
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from commoncrawl_fetcher_lite_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
