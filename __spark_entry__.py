@@ -1327,6 +1327,28 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(kept, k=3)
 
 
+def q_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt: even-index hosts carry two
+    Sitemap directives (mixed case, one with a trailing comment) plus a
+    malformed relative one (dropped); odd hosts none. One
+    line-anchored regexp_extract_all, map-only."""
+    from commoncrawl_fetcher_lite_spark.frontier.robots import sitemap_urls
+
+    hosts = _seeds_view(spark, sf_dir).select("host").distinct()
+    idx = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    body = F.when(
+        idx % 2 == 0,
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: https://"),
+            F.col("host"),
+            F.lit("/sitemap.xml\nsitemap: http://"),
+            F.col("host"),
+            F.lit("/news.xml # daily\nSitemap: /relative.xml"),
+        ),
+    ).otherwise(F.lit("User-agent: *\nDisallow:"))
+    return sitemap_urls(hosts.select("host", body.alias("robots_txt")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1390,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann": q_ivfpq_ann,
         "chunk_documents": q_chunk_documents,
         "corpus_prep": q_corpus_prep,
+        "sitemaps": q_sitemaps,
     }
 
 
@@ -2726,5 +2749,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # sitemaps: same body synthesis, same line-anchored pattern
+        # ((?im) works in both Java regex and DuckDB RE2), absolute
+        # http(s) filter mirrors the protocol's absolute-URL requirement
+        "sitemaps": r"""
+            WITH hosts AS (
+                SELECT DISTINCT 'host' || (user_id % 20) || '.example.com'
+                           AS host,
+                       CAST(user_id % 20 AS INT) AS idx
+                FROM events),
+            bodies AS (
+                SELECT host,
+                       CASE WHEN idx % 2 = 0 THEN
+                           'User-agent: *' || chr(10) || 'Disallow: /x'
+                           || chr(10) || 'Sitemap: https://' || host
+                           || '/sitemap.xml' || chr(10)
+                           || 'sitemap: http://' || host
+                           || '/news.xml # daily' || chr(10)
+                           || 'Sitemap: /relative.xml'
+                       ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+                       END AS body
+                FROM hosts),
+            u AS (
+                SELECT host,
+                       unnest(list_distinct(regexp_extract_all(
+                           body,
+                           '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^\s#]+)',
+                           1))) AS sitemap_url
+                FROM bodies)
+            SELECT host, sitemap_url FROM u
+            WHERE regexp_matches(sitemap_url, '^https?://')
         """,
     }

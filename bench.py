@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     # in-scan gopher gate + survivor tf-idf (the W4 scaling workload)
     "corpus_prep",
+    # sitemap discovery from robots.txt (third seed channel)
+    "sitemaps",
 ]
 
 

@@ -36,6 +36,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -199,3 +200,35 @@ def robots_frame(
             yield pd.DataFrame(rows)
 
     return sel.mapInPandas(run, schema=ROBOTS_SCHEMA)
+
+
+def sitemap_urls(
+    bodies: "DataFrame",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> "DataFrame":
+    """(host, sitemap_url) — one row per DISTINCT `Sitemap:` directive in
+    each host's robots.txt: the crawl loop's third seed channel (after
+    operator seed lists and extracted outlinks), per the sitemaps.org
+    protocol. Sitemap lines are GROUP-INDEPENDENT — they apply to the
+    whole file regardless of user-agent groups — so extraction is one
+    line-anchored regexp_extract_all over the body: pure Catalyst,
+    map-only, no shuffle beyond the caller's own layout.
+
+    Field name matches case-insensitively, trailing comments are cut at
+    '#', and only absolute http(s) URLs survive (the protocol requires
+    absolute URLs; anything else is a malformed directive a crawler
+    skips). Reference: no equivalent (commoncrawl-fetcher-lite reads
+    existing index files and never touches robots.txt) — §8 scope.
+    """
+    urls = F.array_distinct(
+        F.regexp_extract_all(
+            F.col(body_col),
+            F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^\s#]+)"),
+            1,
+        )
+    )
+    return (
+        bodies.select(F.col(host_col), F.explode(urls).alias("sitemap_url"))
+        .where(F.col("sitemap_url").rlike("^https?://"))
+    )

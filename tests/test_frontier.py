@@ -763,3 +763,25 @@ def test_robots_legacy_prefix_frame_still_works(spark):
         "https://h.com/e/130",
         "https://h.com/e/2",
     }
+
+
+def test_sitemap_urls_extraction(spark):
+    from commoncrawl_fetcher_lite_spark.frontier.robots import sitemap_urls
+
+    body_a = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example.com/sitemap.xml\n"
+        "sitemap: http://a.example.com/s2.xml  # trailing comment\n"
+        "  SITEMAP:\thttps://a.example.com/sitemap.xml\n"  # dup -> distinct
+        "Sitemap: /relative/ignored.xml\n"
+        "Sitemap: ftp://a.example.com/nope.xml\n"
+    )
+    bodies = spark.createDataFrame(
+        [("a.example.com", body_a), ("b.example.com", "User-agent: *\nDisallow:")],
+        "host string, robots_txt string",
+    )
+    got = sorted(map(tuple, sitemap_urls(bodies).collect()))
+    assert got == [
+        ("a.example.com", "http://a.example.com/s2.xml"),
+        ("a.example.com", "https://a.example.com/sitemap.xml"),
+    ]
