@@ -1349,6 +1349,17 @@ def q_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(hosts.select("host", body.alias("robots_txt")))
 
 
+def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: exactly 40 docs per language,
+    ranked by the seeded md5 sample lane — deterministic eval-set
+    carve-out; rank filter compiles to WindowGroupLimit (map-side
+    partial top-k)."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import sample_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_exact(docs, k=40, stratum_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mime_count": q_mime_count,
@@ -1413,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "corpus_prep": q_corpus_prep,
         "sitemaps": q_sitemaps,
+        "sample_exact": q_sample_exact,
     }
 
 
@@ -2780,5 +2792,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM bodies)
             SELECT host, sitemap_url FROM u
             WHERE regexp_matches(sitemap_url, '^https?://')
+        """,
+        # sample_exact: the engine's md5 sample lane verbatim —
+        # rank within each language by md5('<id>:sample:42') hex then id
+        "sample_exact": r"""
+            SELECT doc_id, lang, CAST(rnk AS INT) AS sample_rank
+            FROM (SELECT doc_id, lang,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                          || ':sample:42'),
+                                      doc_id) AS rnk
+                  FROM documents)
+            WHERE rnk <= 40
         """,
     }

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "corpus_prep",
     # sitemap discovery from robots.txt (third seed channel)
     "sitemaps",
+    # exact-count stratified eval carve-out (WindowGroupLimit top-k)
+    "sample_exact",
 ]
 
 

@@ -1,7 +1,9 @@
 """Deterministic corpus mixing and training-shard assignment.
 
-Two operators a training-data pipeline runs between "cleaned corpus" and
-"tokenized shards":
+The operators a training-data pipeline runs between "cleaned corpus" and
+"tokenized shards" — mix_corpus and shard_shuffle below, plus
+holdout_split (fractional train/val/test) and sample_exact (exact-count
+stratified carve-out), all keyed on the same seeded md5 lanes:
 
   * mix_corpus — per-stratum up/down-sampling to hit a target data mix
     (the LLaMA/Pile-style "weights" table: en×0.7, code×2.0, …). A rate
@@ -149,3 +151,42 @@ def shard_shuffle(
     return out.withColumn(
         "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
     ).drop("_ord")
+
+
+def sample_exact(
+    df: DataFrame,
+    k: int,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum (one global stratum when
+    stratum_col is None), deterministically — the "carve out 10k eval
+    docs per language" operation. Rows are ranked inside each stratum by
+    the seeded md5 sample lane (ties by id), so the selection is a pure
+    function of (ids, seed): rerun/partitioning/cluster-size invariant,
+    and growing a stratum only ever displaces rows at the selection
+    boundary, never reshuffles the whole sample (holdout_split's
+    anti-contamination argument applied to exact counts). Adds
+    `sample_rank` (1-based).
+
+    Scale shape: the rank filter compiles to WindowGroupLimit
+    (plan-audited), which keeps a running top-k PER MAP PARTITION before
+    the stratum exchange — no reducer ever sorts or buffers a whole
+    stratum, so a billion-doc language costs the same shuffle as its
+    top-k survivors plus partial-k per input partition."""
+    if k < 1:
+        raise ValueError("sample_exact: k must be >= 1")
+    order = [_md5_hex(F.col(id_col), seed, "sample"), F.col(id_col)]
+    w = (
+        Window.partitionBy(stratum_col) if stratum_col else Window.partitionBy()
+    ).orderBy(*order)
+    if stratum_col is None:
+        # a global top-k over Window.partitionBy() would be a single
+        # partition; rank in a constant pseudo-stratum instead so the
+        # same WindowGroupLimit machinery applies, then drop it
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

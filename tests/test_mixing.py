@@ -189,3 +189,53 @@ def test_semdedup_deterministic_across_partitioning(spark):
         map(tuple, semdedup(_emb(spark, rows).repartition(9), tau=0.6, n_cells=4).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------- sample_exact
+
+
+def test_sample_exact_counts_and_determinism(docs):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import sample_exact
+
+    out = sample_exact(docs, k=30, stratum_col="lang")
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"en": 30, "de": 30, "fr": 30}
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, sample_exact(docs.repartition(7), k=30, stratum_col="lang").collect()))
+    assert a == b
+    # ranks are a contiguous 1..k run per stratum
+    assert out.where("sample_rank < 1 OR sample_rank > 30").count() == 0
+    assert out.select("lang", "sample_rank").distinct().count() == 90
+
+
+def test_sample_exact_membership_stable_under_growth(docs):
+    """Growing a stratum only displaces rows at the selection boundary."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import sample_exact
+
+    small = sample_exact(docs.where("doc_id < 200"), k=10, stratum_col="lang")
+    big = sample_exact(docs, k=10, stratum_col="lang")
+    s = {r.doc_id for r in small.collect()}
+    g = {r.doc_id for r in big.collect()}
+    # every doc selected from the FULL corpus that also existed in the
+    # small corpus must have been selected there too (ranks only improve
+    # when competitors vanish, never worsen)
+    assert {d for d in g if d < 200} <= s
+
+
+def test_sample_exact_short_stratum_and_global(docs, spark):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import sample_exact
+
+    tiny = docs.where("doc_id < 5")  # 2 en, 2 de, 1 fr
+    out = sample_exact(tiny, k=10, stratum_col="lang")
+    assert out.count() == 5  # min(k, |stratum|)
+    out_g = sample_exact(docs, k=7)
+    assert out_g.count() == 7
+    with pytest.raises(ValueError):
+        sample_exact(docs, k=0)
+
+
+def test_sample_exact_uses_window_group_limit(docs):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import sample_exact
+
+    plan = _plan(sample_exact(docs, k=5, stratum_col="lang"))
+    assert "WindowGroupLimit" in plan
