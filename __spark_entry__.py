@@ -845,6 +845,38 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed per-host scheduling rate over a file stream
+    (streaming path, batch answer): events stream in, 1-minute tumbling
+    windows per host accumulate in streaming aggregation state,
+    AvailableNow drains to a complete-mode memory table hash-checked
+    against the batch GROUP BY date_trunc oracle. The watermark bounds
+    state in continuous deployments; complete-mode drain here because
+    the driver compares the full table (streaming_dedup's pattern)."""
+    from commoncrawl_fetcher_lite_spark.streaming.dedup_stream import (
+        run_to_memory,
+        stream_documents,
+    )
+    from commoncrawl_fetcher_lite_spark.streaming.frontier_stream import (
+        host_rate_metrics,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = stream_documents(spark, sf_dir, schema, glob_filter="events.parquet")
+    seeds = ev.select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (the
+        # session tz is UTC, so the instant is unchanged)
+        F.col("ts").cast("timestamp").alias("discovered_ts"),
+    )
+    name = f"stream_hostmetrics_{next(_STREAM_SEQ)}"
+    run_to_memory(host_rate_metrics(seeds), name)
+    return spark.table(name)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1425,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "sitemaps": q_sitemaps,
         "sample_exact": q_sample_exact,
+        "streaming_host_metrics": q_streaming_host_metrics,
     }
 
 
@@ -2805,5 +2838,14 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id) AS rnk
                   FROM documents)
             WHERE rnk <= 40
+        """,
+        # streaming_host_metrics: 1-minute tumbling windows align to the
+        # epoch in both engines, so window.start == date_trunc('minute')
+        "streaming_host_metrics": """
+            SELECT date_trunc('minute', ts) AS window_start,
+                   'host' || (user_id % 20) || '.example.com' AS host,
+                   count(*) AS n_scheduled
+            FROM events
+            GROUP BY 1, 2
         """,
     }

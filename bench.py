@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "sitemaps",
     # exact-count stratified eval carve-out (WindowGroupLimit top-k)
     "sample_exact",
+    # watermarked windowed per-host rate, drained via AvailableNow
+    "streaming_host_metrics",
 ]
 
 
