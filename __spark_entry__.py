@@ -877,6 +877,35 @@ def q_streaming_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_crawl_delay_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Crawl-delay → token-rate cap (politeness.host_quota):
+    per-host budgets of (rate 1/s, burst 5, max 50) over a 30 s batch,
+    with crawl_delay_s 10 / 2 / 0.25 / absent by host index — the cap
+    binds only when 1/delay < configured rate (delays 10 and 2), the
+    0.25 s delay and the no-delay hosts keep the budget quota. Output:
+    (host, quota)."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import host_quota
+
+    hosts = _seeds_view(spark, sf_dir).select("host").distinct()
+    idx = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    hb = hosts.select(
+        "host",
+        F.lit(1.0).alias("tokens_per_sec"),
+        F.lit(5).alias("burst"),
+        F.lit(50).alias("max_per_batch"),
+    )
+    robots = hosts.select(
+        "host",
+        F.when(idx % 4 == 0, F.lit(10.0))
+        .when(idx % 4 == 1, F.lit(2.0))
+        .when(idx % 4 == 2, F.lit(0.25))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("crawl_delay_s"),
+    )
+    quotas, _default = host_quota(hb, batch_seconds=30.0, robots=robots)
+    return quotas
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1458,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemaps": q_sitemaps,
         "sample_exact": q_sample_exact,
         "streaming_host_metrics": q_streaming_host_metrics,
+        "crawl_delay_quota": q_crawl_delay_quota,
     }
 
 
@@ -2847,5 +2877,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_scheduled
             FROM events
             GROUP BY 1, 2
+        """,
+        # crawl_delay_quota: quota = min(max_per_batch,
+        # int(burst + min(rate, 1/delay)·batch)); floor() mirrors Spark's
+        # truncating double→int cast (positive values), DuckDB's bare
+        # CAST would round instead
+        "crawl_delay_quota": """
+            WITH hosts AS (
+                SELECT DISTINCT 'host' || (user_id % 20) || '.example.com'
+                           AS host,
+                       CAST(user_id % 20 AS INT) AS idx
+                FROM events),
+            r AS (SELECT host,
+                         CASE WHEN idx % 4 = 0 THEN 10.0
+                              WHEN idx % 4 = 1 THEN 2.0
+                              WHEN idx % 4 = 2 THEN 0.25
+                         END AS d
+                  FROM hosts)
+            SELECT host,
+                   CAST(least(50, floor(
+                       5 + least(1.0,
+                                 CASE WHEN d IS NOT NULL AND d > 0
+                                      THEN 1.0 / d ELSE 1.0 END) * 30))
+                        AS INT) AS quota
+            FROM r
         """,
     }

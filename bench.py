@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "sample_exact",
     # watermarked windowed per-host rate, drained via AvailableNow
     "streaming_host_metrics",
+    # robots Crawl-delay -> token-rate cap
+    "crawl_delay_quota",
 ]
 
 
