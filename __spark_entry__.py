@@ -906,6 +906,32 @@ def q_crawl_delay_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quotas
 
 
+def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host failure backoff across iterations: events become fetch
+    results (hosts at idx%3==0 fail 60% — trips the 0.5 threshold;
+    others fail 10%), previous state carries mult 8 for even-index
+    hosts. Doubling/halving with cap and floor are all exercised."""
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import update_backoff
+
+    ev = _t(spark, sf_dir, "events")
+    idx = (F.col("user_id") % 20).cast("int")
+    results = ev.select(
+        F.concat(F.lit("host"), idx.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.when(idx % 3 == 0, F.col("event_id") % 5 >= 3)
+        .otherwise(F.col("event_id") % 10 != 0)
+        .alias("success"),
+    )
+    prev = (
+        results.select("host")
+        .distinct()
+        .where(F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 2 == 0)
+        .select("host", F.lit(8.0).alias("backoff_mult"))
+    )
+    return update_backoff(prev, results)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape gates per document — word-count
     bounds, mean-word-length band, distinct-word fraction, modal-bigram
@@ -1488,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact": q_sample_exact,
         "streaming_host_metrics": q_streaming_host_metrics,
         "crawl_delay_quota": q_crawl_delay_quota,
+        "host_backoff": q_host_backoff,
     }
 
 
@@ -2901,5 +2928,32 @@ def oracle_sql() -> dict[str, str]:
                                       THEN 1.0 / d ELSE 1.0 END) * 30))
                         AS INT) AS quota
             FROM r
+        """,
+        # host_backoff: multiplicative increase/decrease — failure
+        # fraction >= 0.5 doubles (cap 64), else halves (floor 1);
+        # prev mult 8 for even-index hosts, 1 otherwise
+        "host_backoff": """
+            WITH res AS (
+                SELECT 'host' || (user_id % 20) || '.example.com' AS host,
+                       CAST(user_id % 20 AS INT) AS idx,
+                       CASE WHEN (user_id % 20) % 3 = 0
+                            THEN (event_id % 5) >= 3
+                            ELSE (event_id % 10) <> 0 END AS success
+                FROM events),
+            agg AS (
+                SELECT host, any_value(idx) AS idx,
+                       count(*) AS n_fetched,
+                       sum(CASE WHEN success THEN 0 ELSE 1 END) AS n_failed
+                FROM res GROUP BY host),
+            m AS (
+                SELECT host, n_fetched, n_failed,
+                       CASE WHEN idx % 2 = 0 THEN 8.0 ELSE 1.0 END AS p,
+                       CAST(n_failed AS DOUBLE) / n_fetched >= 0.5 AS tripped
+                FROM agg)
+            SELECT host,
+                   CASE WHEN tripped THEN least(p * 2, 64.0)
+                        ELSE greatest(p / 2, 1.0) END AS backoff_mult,
+                   n_fetched, n_failed
+            FROM m
         """,
     }

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "streaming_host_metrics",
     # robots Crawl-delay -> token-rate cap
     "crawl_delay_quota",
+    # per-host failure backoff (multiplicative increase/decrease)
+    "host_backoff",
 ]
 
 

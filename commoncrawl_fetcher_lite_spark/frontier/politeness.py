@@ -328,3 +328,64 @@ def schedule_batch(
         .withColumnRenamed("_prio", "effective_priority")
     )
     return out
+
+
+def update_backoff(
+    prev_state: DataFrame | None,
+    fetch_results: DataFrame,
+    fail_threshold: float = 0.5,
+    max_backoff: float = 64.0,
+    host_col: str = "host",
+    success_col: str = "success",
+) -> DataFrame:
+    """Per-host failure backoff carried across crawl iterations — the
+    distributed analog of the reference's per-thread 503 ladder
+    (BackoffHttpFetcher.java sleeps the ONE thread that got throttled;
+    a cluster must instead remember per-host health between batches and
+    shrink that host's next-iteration budget).
+
+    Multiplicative increase / decrease: a batch whose per-host failure
+    fraction reaches `fail_threshold` DOUBLES the host's backoff
+    multiplier (capped at max_backoff); a healthy batch — or a batch
+    where the host wasn't fetched at all — HALVES it (floored at 1, so
+    recovered hosts return to full rate; time heals). The scheduler
+    divides the host's token rate by the multiplier next iteration.
+    Output: (host, backoff_mult, n_fetched, n_failed) for every host in
+    either input — a pure function of (prev_state, batch results), so
+    reruns agree and the DuckDB oracle recomputes it exactly.
+
+    Scale shape: ONE groupBy(host) over the batch's fetch results
+    (map-side combine collapses to |hosts touched|), outer-joined with
+    the previous state on the host key; both sides are host-cardinality
+    frames and stats-gate their broadcast like every other politeness
+    join."""
+    if not 0 < fail_threshold <= 1:
+        raise ValueError("update_backoff: fail_threshold must be in (0, 1]")
+    if max_backoff < 1:
+        raise ValueError("update_backoff: max_backoff must be >= 1")
+    spark = fetch_results.sparkSession
+    if prev_state is None:
+        prev_state = spark.createDataFrame([], f"{host_col} string, backoff_mult double")
+    batch = fetch_results.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum((~F.col(success_col)).cast("int")).alias("n_failed"),
+    )
+    prev = maybe_broadcast(
+        prev_state.select(host_col, F.col("backoff_mult").alias("_prev"))
+    )
+    joined = batch.join(prev, host_col, "outer")
+    p = F.coalesce(F.col("_prev"), F.lit(1.0))
+    n = F.coalesce(F.col("n_fetched"), F.lit(0))
+    nf = F.coalesce(F.col("n_failed"), F.lit(0))
+    tripped = (n > 0) & (
+        nf.cast("double") / n >= F.lit(float(fail_threshold))
+    )
+    mult = F.when(tripped, F.least(p * 2, F.lit(float(max_backoff)))).otherwise(
+        F.greatest(p / 2, F.lit(1.0))
+    )
+    return joined.select(
+        host_col,
+        mult.alias("backoff_mult"),
+        n.alias("n_fetched"),
+        nf.alias("n_failed"),
+    )

@@ -785,3 +785,50 @@ def test_sitemap_urls_extraction(spark):
         ("a.example.com", "http://a.example.com/s2.xml"),
         ("a.example.com", "https://a.example.com/sitemap.xml"),
     ]
+
+
+def test_update_backoff_mid_rules(spark):
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import update_backoff
+
+    prev = spark.createDataFrame(
+        [("a.example.com", 8.0), ("idle.example.com", 4.0)],
+        "host string, backoff_mult double",
+    )
+    results = spark.createDataFrame(
+        [  # a: 3/4 failed -> doubles; b: 1/4 failed -> halves (no state -> 1)
+            ("a.example.com", False), ("a.example.com", False),
+            ("a.example.com", False), ("a.example.com", True),
+            ("b.example.com", False), ("b.example.com", True),
+            ("b.example.com", True), ("b.example.com", True),
+        ],
+        "host string, success boolean",
+    )
+    out = {r.host: r for r in update_backoff(prev, results).collect()}
+    assert out["a.example.com"].backoff_mult == 16.0
+    assert out["a.example.com"].n_failed == 3
+    assert out["b.example.com"].backoff_mult == 1.0  # max(1/2, 1)
+    # untouched host decays toward 1
+    assert out["idle.example.com"].backoff_mult == 2.0
+    assert out["idle.example.com"].n_fetched == 0
+
+
+def test_update_backoff_caps_and_floors(spark):
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import update_backoff
+
+    prev = spark.createDataFrame(
+        [("x.example.com", 64.0), ("y.example.com", 1.0)],
+        "host string, backoff_mult double",
+    )
+    results = spark.createDataFrame(
+        [("x.example.com", False), ("y.example.com", True)],
+        "host string, success boolean",
+    )
+    out = {r.host: r.backoff_mult for r in update_backoff(prev, results).collect()}
+    assert out["x.example.com"] == 64.0  # capped
+    assert out["y.example.com"] == 1.0  # floored
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        update_backoff(prev, results, fail_threshold=0.0)
+    with _pytest.raises(ValueError):
+        update_backoff(prev, results, max_backoff=0.5)
