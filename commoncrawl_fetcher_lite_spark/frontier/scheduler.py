@@ -39,7 +39,9 @@ from commoncrawl_fetcher_lite_spark.frontier.politeness import (
     debit_tokens,
     refill_tokens,
     schedule_batch,
+    update_backoff,
 )
+from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
 from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
     filter_unseen,
     with_url_hash,
@@ -112,6 +114,31 @@ def run_iteration(
         robots=robots,
     ).localCheckpoint(eager=True)  # reused by the quota join AND the debit
     quotas = refilled.select("host", "quota")
+
+    # per-host failure backoff (politeness.update_backoff): an unhealthy
+    # host's quota is divided by its multiplier this iteration; the state
+    # updates below once fetch results carry a `success` column
+    prev_backoff = (
+        store.read("host_backoff") if store.exists("host_backoff") else None
+    )
+    if prev_backoff is not None:
+        quotas = (
+            quotas.join(
+                maybe_broadcast(prev_backoff.select("host", "backoff_mult")),
+                "host",
+                "left",
+            )
+            .select(
+                "host",
+                F.greatest(
+                    F.floor(
+                        F.col("quota")
+                        / F.coalesce(F.col("backoff_mult"), F.lit(1.0))
+                    ).cast("int"),
+                    F.lit(0),
+                ).alias("quota"),
+            )
+        )
 
     # materialize the scheduling plan ONCE: batch feeds the fetch, both
     # state updates, and the commit write — without this the anti-join +
@@ -190,6 +217,15 @@ def run_iteration(
         tables["fetched"] = fetched
     carry = ["robots"] if robots is not None else []
 
+    # backoff state update: only when the fetch reports per-row success
+    # (fixture fetchers that return the batch unchanged leave the state
+    # untouched — no silent decay on iterations that never fetched)
+    new_backoff = None
+    if fetch_fn is not None and "success" in fetched.columns:
+        new_backoff = update_backoff(
+            prev_backoff, fetched.select("host", "success")
+        ).select("host", "backoff_mult")
+
     # counts come from the lineage scan commit performs anyway — no extra
     # executions of the seen/frontier plans just to fill metrics
     snap = store.commit(
@@ -202,7 +238,14 @@ def run_iteration(
                 "key": ["url_hash", "url"],
             }
         },
-        upserts={"host_state": {"df": new_state, "key": ["host"]}},
+        upserts={
+            "host_state": {"df": new_state, "key": ["host"]},
+            **(
+                {"host_backoff": {"df": new_backoff, "key": ["host"]}}
+                if new_backoff is not None
+                else {}
+            ),
+        },
         carry_forward=carry,
         row_metrics={
             "scheduled": "batch",

@@ -832,3 +832,54 @@ def test_update_backoff_caps_and_floors(spark):
         update_backoff(prev, results, fail_threshold=0.0)
     with _pytest.raises(ValueError):
         update_backoff(prev, results, max_backoff=0.5)
+
+
+def test_backoff_wired_into_scheduler(spark, tmp_path):
+    """A host whose fetches fail gets its next-iteration quota divided by
+    the committed backoff multiplier; a healthy host keeps full quota.
+    The multiplier state round-trips through the snapshot store."""
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+
+    rows = [
+        (f"https://{h}/p{i}", h, 1.0, None, 0.0)
+        for h in ("bad.example.com", "good.example.com")
+        for i in range(12)
+    ]
+    seeds = spark.createDataFrame(
+        rows,
+        "url string, host string, priority double, "
+        "discovered_ts timestamp, recrawl_score double",
+    )
+    store = SnapshotStore(str(tmp_path / "snap"), spark)
+    scheduler.bootstrap(store, seeds)
+
+    def fetch(batch):
+        return batch.select(
+            "url", "host", (F.col("host") != "bad.example.com").alias("success")
+        )
+
+    # quota 4/iteration: burst 4, and the 4/s refill restores a fully
+    # drained bucket within the 1 s batch (avail = min(4+4, 0+4) = 4)
+    cfg = FrontierConfig(
+        default_burst=4, default_max_per_batch=4, default_tokens_per_sec=4.0
+    )
+    scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    bo = {r.host: r.backoff_mult for r in store.read("host_backoff").collect()}
+    assert bo["bad.example.com"] == 2.0  # 100% failure -> doubled
+    assert bo["good.example.com"] == 1.0
+
+    # iteration 2: bad host's quota 4 // 2 = 2, good host keeps 4
+    res = scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    batch_hosts = {}
+    # count per host in this iteration's batch via the committed batch table
+    for r in store.read("batch").collect():
+        h = r.url.split("/")[2]
+        batch_hosts[h] = batch_hosts.get(h, 0) + 1
+    assert batch_hosts["bad.example.com"] == 2
+    assert batch_hosts["good.example.com"] == 4
+    assert res.n_scheduled == 6
+    # multiplier keeps climbing while failures continue
+    bo2 = {r.host: r.backoff_mult for r in store.read("host_backoff").collect()}
+    assert bo2["bad.example.com"] == 4.0
