@@ -90,6 +90,17 @@ def run_iteration(
     if robots is not None:
         candidates = apply_robots(candidates, robots)
 
+    # domain blocklist gate (frontier/blocklist.py): a `blocklist`
+    # snapshot table of (domain, category) drops candidates whose host —
+    # or any parent domain — is listed; suffix explode runs over DISTINCT
+    # hosts, verdict join is stats-gated
+    if store.exists("blocklist"):
+        from commoncrawl_fetcher_lite_spark.frontier.blocklist import (
+            filter_blocked,
+        )
+
+        candidates = filter_blocked(candidates, store.read("blocklist"))
+
     if not cfg.compact_shuffles:
         candidates = filter_unseen(candidates, seen)
 
@@ -216,6 +227,8 @@ def run_iteration(
     if fetch_fn is not None:
         tables["fetched"] = fetched
     carry = ["robots"] if robots is not None else []
+    if store.exists("blocklist"):
+        carry.append("blocklist")  # the gate persists across iterations
 
     # backoff state update: only when the fetch reports per-row success
     # (fixture fetchers that return the batch unchanged leave the state

@@ -883,3 +883,39 @@ def test_backoff_wired_into_scheduler(spark, tmp_path):
     # multiplier keeps climbing while failures continue
     bo2 = {r.host: r.backoff_mult for r in store.read("host_backoff").collect()}
     assert bo2["bad.example.com"] == 4.0
+
+
+def test_blocklist_wired_into_scheduler(spark, tmp_path):
+    """A committed `blocklist` table keeps listed domains (and their
+    subdomains) out of every scheduled batch; unlisted hosts flow."""
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+
+    seeds = spark.createDataFrame(
+        [
+            ("https://ok.example.com/1", "ok.example.com", 1.0, None, 0.0),
+            ("https://ads.example.net/1", "ads.example.net", 1.0, None, 0.0),
+            ("https://sub.ads.example.net/1", "sub.ads.example.net", 1.0, None, 0.0),
+        ],
+        "url string, host string, priority double, "
+        "discovered_ts timestamp, recrawl_score double",
+    )
+    store = SnapshotStore(str(tmp_path / "snap"), spark)
+    scheduler.bootstrap(store, seeds)
+    bl = spark.createDataFrame(
+        [("ads.example.net", "ads")], "domain string, category string"
+    )
+    store.commit({"blocklist": bl}, carry_forward=["urlseen", "frontier"])
+
+    res = scheduler.run_iteration(store, FrontierConfig(), batch_seconds=1.0)
+    assert res.n_scheduled == 1
+    assert [r.url for r in store.read("batch").collect()] == [
+        "https://ok.example.com/1"
+    ]
+    # the gate carries into the next snapshot: blocked hosts remain in the
+    # frontier but are never scheduled
+    res2 = scheduler.run_iteration(store, FrontierConfig(), batch_seconds=1.0)
+    assert res2.n_scheduled == 0
+    assert store.exists("blocklist")
+    assert store.read("frontier").count() == 2
