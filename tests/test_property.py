@@ -188,3 +188,79 @@ def test_robots_wildcard_fold_matches_rfc_reference(spark, rules, paths):
         f"rules={rules} divergent paths: "
         f"spark-only={kept - expected} ref-only={expected - kept}"
     )
+
+
+# ------------------------------------------------ corpus-prep properties
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=300),
+    max_tokens=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_invariants(spark, n_tokens, max_tokens, overlap_frac):
+    """For ANY (doc length, window, overlap): chunks cover every token in
+    order, consecutive full chunks share exactly `overlap` tokens, and no
+    chunk exceeds max_tokens."""
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    overlap = min(int(max_tokens * overlap_frac), max_tokens - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text.split(" ") if r.chunk_text else [])
+        for r in chunk_documents(docs, max_tokens=max_tokens, overlap=overlap).collect()
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    stride = max_tokens - overlap
+    assert [i for i, _ in rows] == list(range(len(rows)))
+    seen = []
+    for i, toks in rows:
+        assert 1 <= len(toks) <= max_tokens
+        assert toks[0] == f"t{i * stride}"
+        seen.extend(toks[overlap:] if i > 0 else toks)
+    # ordered concatenation minus overlaps == the full token stream
+    assert seen == [f"t{i}" for i in range(n_tokens)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rate=st.floats(min_value=0.0, max_value=3.0),
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_mix_corpus_copy_count_bounds(spark, rate, n, seed):
+    """Every doc emits floor(rate) or ceil(rate) copies; the total lands
+    within a binomial-tail band around n·rate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.operators.mixing import mix_corpus
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("lang")
+    )
+    out = mix_corpus(docs, {"x": rate}, seed=seed)
+    per_doc = {
+        r.doc_id: r.c
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    lo, hi = math.floor(rate), math.ceil(rate)
+    assert all(c in (lo, hi) or (rate == lo and c == lo) for c in per_doc.values())
+    total = sum(per_doc.values())
+    # 6-sigma binomial band on the fractional coin
+    frac = rate - lo
+    sigma = math.sqrt(n * frac * (1 - frac))
+    assert abs(total - n * rate) <= 6 * sigma + 1e-9
