@@ -74,9 +74,15 @@ def tag_blocked(
     cand_cols = candidates.columns
     if host_col not in cand_cols:
         raise ValueError(f"tag_blocked: candidates lack {host_col!r}")
+    # DNS names are case-insensitive and a FQDN may carry a trailing dot:
+    # normalize BOTH sides at match time (lowercase + strip trailing dot)
+    # so `https://Evil.Example.COM/` cannot bypass a lowercase UT1 entry.
+    # The candidate's original host column is untouched — only the match
+    # key is normalized.
+    _norm = lambda c: F.lower(F.regexp_replace(c, r"\.$", ""))  # noqa: E731
     bl = F.broadcast(
         blocklist.select(
-            F.col(list_host_col).alias("_bl_domain"),
+            _norm(F.col(list_host_col)).alias("_bl_domain"),
             F.col(category_col).alias("_bl_category"),
         )
     )
@@ -88,9 +94,9 @@ def tag_blocked(
         .distinct()
         .select(
             host_col,
-            F.posexplode(domain_suffixes(host_col, min_labels)).alias(
-                "_sfx_pos", "_sfx"
-            ),
+            F.posexplode(
+                domain_suffixes(_norm(F.col(host_col)), min_labels)
+            ).alias("_sfx_pos", "_sfx"),
         )
     )
     # most-specific match = suffix generated earliest (pos 0 is the full

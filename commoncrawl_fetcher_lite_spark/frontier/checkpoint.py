@@ -365,7 +365,15 @@ class SnapshotStore:
                 "rows": sum(s["rows"] for s in segs),
                 "rows_exact": len(segs) == 1,
             }
-            snap_meta["tables"][name] = self._maybe_compact(snap, name, entry)
+            # optional state GC: a SQL predicate (e.g. backoff rows still
+            # backed off) applied when the chain folds — rows a read would
+            # resolve to their default value get physically dropped, so
+            # lazily-decaying state tables stay O(live keys), not
+            # O(keys ever written). Supplied per-commit by the writer
+            # (it may reference the current snapshot number).
+            snap_meta["tables"][name] = self._maybe_compact(
+                snap, name, entry, prune=spec.get("prune")
+            )
 
         for metric, table in (row_metrics or {}).items():
             snap_meta["metrics"][metric] = snap_meta["tables"][table]["rows"]
@@ -391,7 +399,9 @@ class SnapshotStore:
             json.dump(man, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic publish
 
-    def _maybe_compact(self, snap: int, name: str, entry: dict) -> dict:
+    def _maybe_compact(
+        self, snap: int, name: str, entry: dict, prune: str | None = None
+    ) -> dict:
         """Fold a delta chain back to a base dir once it exceeds
         compact_every segments (counting delete segments) OR compact_bytes
         of accumulated delta bytes — bounds the read-side merge cost and
@@ -416,6 +426,8 @@ class SnapshotStore:
             )
             return entry
         resolved = self._resolve(entry)
+        if prune:
+            resolved = resolved.where(prune)
         path = os.path.join(self._table_dir(snap, name), "compacted")
         lineage, rows = self._write(resolved, path)
         return {

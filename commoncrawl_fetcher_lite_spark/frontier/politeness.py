@@ -330,6 +330,129 @@ def schedule_batch(
     return out
 
 
+def _validate_backoff_params(fail_threshold: float, max_backoff: float) -> None:
+    if not 0 < fail_threshold <= 1:
+        raise ValueError("update_backoff: fail_threshold must be in (0, 1]")
+    if max_backoff < 1:
+        raise ValueError("update_backoff: max_backoff must be >= 1")
+
+
+def _batch_failure_counts(
+    fetch_results: DataFrame, host_col: str, success_col: str
+) -> DataFrame:
+    """(host, n_fetched, n_failed) over one batch's fetch results — one
+    groupBy(host) with map-side combine, so the exchange carries
+    |hosts touched| rows regardless of batch size. A NULL success value
+    counts as a FAILURE (conservative: an attempt whose outcome the
+    fetcher couldn't report must not make a sick host look healthy by
+    diluting its failure fraction)."""
+    return fetch_results.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(
+            (~F.coalesce(F.col(success_col), F.lit(False))).cast("int")
+        ).alias("n_failed"),
+    )
+
+
+def effective_backoff(
+    state: DataFrame | None,
+    at_snap: int,
+    host_col: str = "host",
+) -> DataFrame | None:
+    """Resolve the lazily-decayed backoff state to (host, backoff_mult)
+    as of snapshot `at_snap`.
+
+    State rows are (host, backoff_mult, snap_set): the multiplier that
+    was in force at snapshot `snap_set`. Every snapshot since then in
+    which the host wasn't tripped halves it, so the effective value is
+    max(1, mult / 2^(at_snap − snap_set)) — computed AT READ TIME from
+    the stored row instead of rewriting every host's row each iteration
+    (the round-5 O(all-known-hosts) commit). Rows that have decayed to 1
+    are filtered out (an absent host reads as multiplier 1), keeping the
+    quota-division join input at |still-backed-off hosts|.
+
+    Accepts legacy (host, backoff_mult) state without snap_set — treated
+    as set at `at_snap` (no decay), so old checkpoints stay readable."""
+    if state is None:
+        return None
+    cols = state.columns
+    snap_set = (
+        F.col("snap_set") if "snap_set" in cols else F.lit(int(at_snap))
+    )
+    eff = F.greatest(
+        F.col("backoff_mult")
+        / F.pow(F.lit(2.0), F.lit(int(at_snap)) - snap_set),
+        F.lit(1.0),
+    )
+    return (
+        state.select(host_col, eff.alias("backoff_mult"))
+        .where(F.col("backoff_mult") > 1.0)
+    )
+
+
+def backoff_delta(
+    prev_state: DataFrame | None,
+    fetch_results: DataFrame,
+    new_snap: int,
+    fail_threshold: float = 0.5,
+    max_backoff: float = 64.0,
+    host_col: str = "host",
+    success_col: str = "success",
+) -> DataFrame:
+    """The O(batch) state commit for per-host failure backoff: rows
+    (host, backoff_mult, snap_set=new_snap) for ONLY the hosts whose
+    batch failure fraction reached `fail_threshold` this iteration.
+
+    Why tripped-only is lossless: under lazy decay (effective_backoff)
+    a healthy-touched host's halving is IDENTICAL to an untouched
+    host's — max(1, eff/2) next read either way — so neither needs a
+    row; only a doubling resets the decay clock and must be recorded.
+    The upsert is therefore O(tripped hosts ⊆ batch hosts), never
+    O(all known hosts), restoring the scheduler's documented
+    'each snapshot writes only O(batch) rows' contract
+    (scheduler.py module docstring).
+
+    prev_state rows carry (host, backoff_mult, snap_set); the previous
+    multiplier is resolved at `new_snap − 1` (the snapshot this
+    iteration reads) before doubling. NULL success counts as failure —
+    see _batch_failure_counts."""
+    _validate_backoff_params(fail_threshold, max_backoff)
+    batch = _batch_failure_counts(fetch_results, host_col, success_col)
+    prev = effective_backoff(prev_state, at_snap=int(new_snap) - 1,
+                             host_col=host_col)
+    if prev is not None:
+        batch = batch.join(
+            maybe_broadcast(
+                prev.withColumnRenamed("backoff_mult", "_prev")
+            ),
+            host_col,
+            "left",
+        )
+    else:
+        batch = batch.withColumn("_prev", F.lit(None).cast("double"))
+    p = F.coalesce(F.col("_prev"), F.lit(1.0))
+    tripped = (
+        F.col("n_failed").cast("double") / F.col("n_fetched")
+        >= F.lit(float(fail_threshold))
+    )
+    return (
+        batch.where(tripped)
+        .select(
+            host_col,
+            F.least(p * 2, F.lit(float(max_backoff))).alias("backoff_mult"),
+            F.lit(int(new_snap)).alias("snap_set"),
+        )
+    )
+
+
+def backoff_prune_predicate(at_snap: int) -> str:
+    """SQL predicate keeping only rows still backed off at `at_snap` —
+    handed to the snapshot store's upsert compaction so recovered hosts'
+    rows are physically dropped (an absent row reads as multiplier 1,
+    exactly what their decayed value is)."""
+    return f"backoff_mult > power(2.0, {int(at_snap)} - snap_set)"
+
+
 def update_backoff(
     prev_state: DataFrame | None,
     fetch_results: DataFrame,
@@ -338,8 +461,8 @@ def update_backoff(
     host_col: str = "host",
     success_col: str = "success",
 ) -> DataFrame:
-    """Per-host failure backoff carried across crawl iterations — the
-    distributed analog of the reference's per-thread 503 ladder
+    """Per-host failure backoff, EAGER analytic view — the distributed
+    analog of the reference's per-thread 503 ladder
     (BackoffHttpFetcher.java sleeps the ONE thread that got throttled;
     a cluster must instead remember per-host health between batches and
     shrink that host's next-iteration budget).
@@ -348,28 +471,25 @@ def update_backoff(
     fraction reaches `fail_threshold` DOUBLES the host's backoff
     multiplier (capped at max_backoff); a healthy batch — or a batch
     where the host wasn't fetched at all — HALVES it (floored at 1, so
-    recovered hosts return to full rate; time heals). The scheduler
-    divides the host's token rate by the multiplier next iteration.
-    Output: (host, backoff_mult, n_fetched, n_failed) for every host in
-    either input — a pure function of (prev_state, batch results), so
-    reruns agree and the DuckDB oracle recomputes it exactly.
+    recovered hosts return to full rate; time heals). A NULL success
+    value counts as a failure (see _batch_failure_counts). Output:
+    (host, backoff_mult, n_fetched, n_failed) for every host in either
+    input — a pure function of (prev_state, batch results), so reruns
+    agree and the DuckDB oracle recomputes it exactly.
 
-    Scale shape: ONE groupBy(host) over the batch's fetch results
-    (map-side combine collapses to |hosts touched|), outer-joined with
-    the previous state on the host key; both sides are host-cardinality
-    frames and stats-gate their broadcast like every other politeness
-    join."""
-    if not 0 < fail_threshold <= 1:
-        raise ValueError("update_backoff: fail_threshold must be in (0, 1]")
-    if max_backoff < 1:
-        raise ValueError("update_backoff: max_backoff must be >= 1")
+    This is the REPORTING shape (one row per known host — what a crawl
+    health dashboard wants), NOT the state commit: materializing every
+    known host per iteration is an O(state) write. The scheduler commits
+    `backoff_delta` (tripped hosts only) and resolves reads through
+    `effective_backoff`'s lazy decay — identical semantics, O(batch)
+    I/O."""
+    _validate_backoff_params(fail_threshold, max_backoff)
     spark = fetch_results.sparkSession
     if prev_state is None:
-        prev_state = spark.createDataFrame([], f"{host_col} string, backoff_mult double")
-    batch = fetch_results.groupBy(host_col).agg(
-        F.count(F.lit(1)).alias("n_fetched"),
-        F.sum((~F.col(success_col)).cast("int")).alias("n_failed"),
-    )
+        prev_state = spark.createDataFrame(
+            [], f"{host_col} string, backoff_mult double"
+        )
+    batch = _batch_failure_counts(fetch_results, host_col, success_col)
     prev = maybe_broadcast(
         prev_state.select(host_col, F.col("backoff_mult").alias("_prev"))
     )

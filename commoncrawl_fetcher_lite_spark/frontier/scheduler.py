@@ -36,10 +36,12 @@ from commoncrawl_fetcher_lite_spark.config import FrontierConfig
 from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
 from commoncrawl_fetcher_lite_spark.frontier.politeness import (
     apply_robots,
+    backoff_delta,
+    backoff_prune_predicate,
     debit_tokens,
+    effective_backoff,
     refill_tokens,
     schedule_batch,
-    update_backoff,
 )
 from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
 from commoncrawl_fetcher_lite_spark.frontier.urlseen import (
@@ -126,19 +128,19 @@ def run_iteration(
     ).localCheckpoint(eager=True)  # reused by the quota join AND the debit
     quotas = refilled.select("host", "quota")
 
-    # per-host failure backoff (politeness.update_backoff): an unhealthy
-    # host's quota is divided by its multiplier this iteration; the state
-    # updates below once fetch results carry a `success` column
+    # per-host failure backoff: an unhealthy host's quota is divided by
+    # its multiplier this iteration. State rows are (host, backoff_mult,
+    # snap_set) — the multiplier decays LAZILY at read (halve per
+    # snapshot since snap_set, politeness.effective_backoff), so the
+    # commit below writes only tripped hosts, never the full host set
+    cur_snap = store.current_snapshot()
     prev_backoff = (
         store.read("host_backoff") if store.exists("host_backoff") else None
     )
-    if prev_backoff is not None:
+    backoff_now = effective_backoff(prev_backoff, at_snap=cur_snap)
+    if backoff_now is not None:
         quotas = (
-            quotas.join(
-                maybe_broadcast(prev_backoff.select("host", "backoff_mult")),
-                "host",
-                "left",
-            )
+            quotas.join(maybe_broadcast(backoff_now), "host", "left")
             .select(
                 "host",
                 F.greatest(
@@ -232,12 +234,18 @@ def run_iteration(
 
     # backoff state update: only when the fetch reports per-row success
     # (fixture fetchers that return the batch unchanged leave the state
-    # untouched — no silent decay on iterations that never fetched)
+    # untouched — no silent decay on iterations that never fetched).
+    # backoff_delta emits rows ONLY for hosts tripped this batch (a
+    # healthy host's halving is the lazy decay's halving — no row
+    # needed), and the prune predicate drops recovered rows whenever the
+    # store compacts the upsert chain: the commit stays O(batch) and the
+    # table stays O(currently-backed-off hosts).
     new_backoff = None
     if fetch_fn is not None and "success" in fetched.columns:
-        new_backoff = update_backoff(
-            prev_backoff, fetched.select("host", "success")
-        ).select("host", "backoff_mult")
+        new_backoff = backoff_delta(
+            prev_backoff, fetched.select("host", "success"),
+            new_snap=cur_snap + 1,
+        )
 
     # counts come from the lineage scan commit performs anyway — no extra
     # executions of the seen/frontier plans just to fill metrics
@@ -254,7 +262,13 @@ def run_iteration(
         upserts={
             "host_state": {"df": new_state, "key": ["host"]},
             **(
-                {"host_backoff": {"df": new_backoff, "key": ["host"]}}
+                {
+                    "host_backoff": {
+                        "df": new_backoff,
+                        "key": ["host"],
+                        "prune": backoff_prune_predicate(cur_snap + 1),
+                    }
+                }
                 if new_backoff is not None
                 else {}
             ),

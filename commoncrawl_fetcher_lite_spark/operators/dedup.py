@@ -294,22 +294,30 @@ def duplicate_span_pairs(
 
     Output: (doc_id_a, doc_id_b, n_shared), id_a < id_b.
     """
-    from pyspark.sql import Window
-
     from commoncrawl_fetcher_lite_spark.operators.text import fingerprint_set
 
-    fps = fingerprint_set(docs, text_col, id_col, n=n, stride=stride)
-    # df gate as count-over-Window.partitionBy(fp): ONE shuffle on fp and
-    # one pass over the explode — the groupBy(fp)+join-back formulation
-    # would compute the tokenize→md5→winnow explode twice and shuffle it
-    # three times. Materialize the pruned frame once: the self-join below
-    # would otherwise still run the whole chain once per side.
-    pruned = (
-        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    # df gate as groupBy(fp).count() + semi-join back, NOT count-over-
+    # Window.partitionBy(fp): a boilerplate fingerprint shared by 10^6
+    # docs — the exact row class max_df exists to kill — would buffer as
+    # ONE 10^6-row window group in a single task before the filter ever
+    # saw it. groupBy's map-side partial aggregation collapses the hot
+    # key to one row per task, so no stage ever concentrates it; the
+    # extra shuffle is over the (fp, count) frame, which is strictly
+    # smaller than the explode. The explode itself is checkpointed ONCE
+    # so the agg and the semi-join probe both read the materialized
+    # skinny frame instead of re-tokenizing.
+    fps = fingerprint_set(
+        docs, text_col, id_col, n=n, stride=stride
+    ).localCheckpoint(eager=True)
+    passing = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .drop("df")
-        .localCheckpoint(eager=True)
+        .select("fp")
     )
+    # materialize the pruned frame once: the self-join below would
+    # otherwise run the semi-join once per side
+    pruned = fps.join(passing, "fp", "left_semi").localCheckpoint(eager=True)
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (

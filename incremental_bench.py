@@ -39,6 +39,12 @@ CPUS = int(os.environ.get("INC_CPUS", "8"))
 GC_KEEP = int(os.environ.get("INC_GC_KEEP", "0"))
 N_HOSTS = int(os.environ.get("INC_HOSTS", "2000"))
 PER_BATCH = int(os.environ.get("INC_PER_BATCH", "40"))
+# INC_BACKOFF=1 adds a deterministic fetch_fn whose hosts at idx%17==0
+# always fail — every iteration trips ~6% of hosts, exercising the
+# host_backoff upsert (politeness.backoff_delta). The round-6 contract
+# under test: the backoff delta is O(tripped hosts), so bytes_written
+# stays on the same flat plateau with the leg enabled.
+BACKOFF = int(os.environ.get("INC_BACKOFF", "0"))
 
 
 def _du(root: str) -> tuple[int, int]:
@@ -95,10 +101,17 @@ def main() -> None:
         )
         store = SnapshotStore(root, spark, compact_every=8)
         bootstrap(store, seeds)
+        fetch_fn = None
+        if BACKOFF:
+            def fetch_fn(batch):
+                idx = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+                return batch.select(
+                    "url", "host", ((idx % 17) != 0).alias("success")
+                )
         rows = []
         for _ in range(ITERS):
             t0 = time.perf_counter()
-            res = run_iteration(store, cfg, batch_seconds=10.0)
+            res = run_iteration(store, cfg, batch_seconds=10.0, fetch_fn=fetch_fn)
             if GC_KEEP > 0:
                 store.expire_snapshots(keep_last=GC_KEEP)
             dt = time.perf_counter() - t0
@@ -126,6 +139,12 @@ def main() -> None:
                 "snap_dirs": snap_dirs,
                 "sec": round(dt, 2),
             }
+            if BACKOFF:
+                bo = meta["tables"].get("host_backoff")
+                if bo is not None and bo.get("mode") == "upsert":
+                    row["backoff_delta_rows"] = bo["segments"][-1]["rows"]
+                elif bo is not None:
+                    row["backoff_delta_rows"] = bo.get("rows", 0)
             rows.append(row)
             print(json.dumps(row), flush=True)
             if res.n_scheduled == 0:
@@ -158,6 +177,7 @@ def main() -> None:
                     ),
                     "snap_dirs_max": max(r["snap_dirs"] for r in rows),
                     "gc_keep": GC_KEEP,
+                    "backoff": BACKOFF,
                     "iters": len(rows),
                     "n_seeds": N_SEEDS,
                 }

@@ -219,6 +219,32 @@ def test_blocklist_join_is_broadcast(cands, bl):
     assert plan.count("Exchange hashpartitioning") <= 1  # only the host distinct
 
 
+def test_blocklist_matching_is_case_and_fqdn_insensitive(spark, bl):
+    """DNS names are case-insensitive and may carry a trailing dot:
+    `https://Evil.Example.COM./` must not bypass a lowercase list entry,
+    and an upper-cased LIST row must still match lowercase hosts. The
+    candidate's own host column is returned untouched."""
+    mixed = spark.createDataFrame(
+        [
+            (0, "Shop.Example.COM"),
+            (1, "blog.example.com."),  # trailing-dot FQDN form
+            (2, "safe.example.net"),
+        ],
+        "cand_id long, host string",
+    )
+    out = {r.cand_id: r for r in tag_blocked(mixed, bl).collect()}
+    assert out[0].blocked and out[0].block_category == "commerce"
+    assert out[1].blocked and out[1].block_category == "ads"
+    assert not out[2].blocked
+    assert out[0].host == "Shop.Example.COM"  # original casing preserved
+    # and the list side normalizes too
+    shouty = spark.createDataFrame(
+        [("EXAMPLE.COM.", "ads")], "domain string, category string"
+    )
+    got = {r.cand_id: r.blocked for r in tag_blocked(mixed, shouty).collect()}
+    assert got == {0: True, 1: True, 2: False}
+
+
 def test_blocklist_duplicate_category_rows_are_deterministic(cands, spark):
     """UT1 category files overlap: the same domain listed under two
     categories must resolve to ONE deterministic verdict (smallest

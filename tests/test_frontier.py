@@ -866,9 +866,14 @@ def test_backoff_wired_into_scheduler(spark, tmp_path):
         default_burst=4, default_max_per_batch=4, default_tokens_per_sec=4.0
     )
     scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
-    bo = {r.host: r.backoff_mult for r in store.read("host_backoff").collect()}
+    rows = store.read("host_backoff").collect()
+    bo = {r.host: r.backoff_mult for r in rows}
     assert bo["bad.example.com"] == 2.0  # 100% failure -> doubled
-    assert bo["good.example.com"] == 1.0
+    # O(batch) contract: ONLY the tripped host gets a state row — the
+    # healthy host's (absent) row reads as multiplier 1 via lazy decay
+    assert "good.example.com" not in bo
+    assert len(rows) == 1
+    assert {r.snap_set for r in rows} == {1}
 
     # iteration 2: bad host's quota 4 // 2 = 2, good host keeps 4
     res = scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
@@ -883,6 +888,93 @@ def test_backoff_wired_into_scheduler(spark, tmp_path):
     # multiplier keeps climbing while failures continue
     bo2 = {r.host: r.backoff_mult for r in store.read("host_backoff").collect()}
     assert bo2["bad.example.com"] == 4.0
+    # the manifest records the upsert delta: exactly the tripped hosts
+    entry = store.manifest()["snapshots"]["2"]["tables"]["host_backoff"]
+    assert entry["segments"][-1]["rows"] == 1
+
+
+def test_backoff_lazy_decay_and_prune(spark, tmp_path):
+    """A host that stops failing recovers by LAZY decay — no per-iteration
+    state rewrite — and its row is physically dropped when the upsert
+    chain compacts (prune predicate). Semantics match the eager halving:
+    eff = max(1, mult / 2^(snap - snap_set))."""
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+        effective_backoff,
+    )
+
+    rows = [
+        (f"https://flaky.example.com/p{i}", "flaky.example.com", 1.0, None, 0.0)
+        for i in range(40)
+    ]
+    seeds = spark.createDataFrame(
+        rows,
+        "url string, host string, priority double, "
+        "discovered_ts timestamp, recrawl_score double",
+    )
+    store = SnapshotStore(str(tmp_path / "snap"), spark, compact_every=2)
+    scheduler.bootstrap(store, seeds)
+
+    fail_once = {"snap": 1}
+
+    def fetch(batch):
+        # fail only on iteration 1; healthy afterwards
+        ok = store.current_snapshot() + 1 != fail_once["snap"]
+        return batch.select("url", "host", F.lit(ok).alias("success"))
+
+    cfg = FrontierConfig(
+        default_burst=8, default_max_per_batch=8, default_tokens_per_sec=8.0
+    )
+    scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    st = store.read("host_backoff").collect()
+    assert [(r.backoff_mult, r.snap_set) for r in st] == [(2.0, 1)]
+
+    # iteration 2 reads eff = max(1, 2/2^(1-1)) = 2 -> quota 8//2 = 4
+    res2 = scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    assert res2.n_scheduled == 4
+    # healthy iteration wrote NO new backoff rows (delta is tripped-only)
+    entry = store.manifest()["snapshots"]["2"]["tables"].get("host_backoff")
+    if entry is not None and entry.get("mode") == "upsert":
+        assert entry["segments"][-1]["seq"] == 1  # no snap-2 segment
+    # effective multiplier at snap 2 decayed to 1 (2/2^(2-1)) -> filtered
+    eff = effective_backoff(store.read("host_backoff"), at_snap=2)
+    assert eff.count() == 0
+
+    # iteration 3: full quota again (eff decayed to 1)
+    res3 = scheduler.run_iteration(store, cfg, batch_seconds=1.0, fetch_fn=fetch)
+    assert res3.n_scheduled == 8
+
+
+def test_backoff_prune_drops_recovered_rows(spark, tmp_path):
+    """Upsert compaction with the backoff prune predicate physically
+    drops rows whose effective multiplier has decayed to 1."""
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+        backoff_prune_predicate,
+    )
+
+    store = SnapshotStore(str(tmp_path / "snap"), spark, compact_every=1)
+    d1 = spark.createDataFrame(
+        [("a.example.com", 2.0, 0)],
+        "host string, backoff_mult double, snap_set int",
+    )
+    store.commit(upserts={"host_backoff": {
+        "df": d1, "key": ["host"], "prune": backoff_prune_predicate(0)}})
+    # second commit (snap 1) exceeds compact_every=1 -> compaction runs
+    # the prune: a's eff at snap 1 = max(1, 2/2^(1-0)) = 1 -> dropped;
+    # b (freshly tripped, eff 4) survives
+    d2 = spark.createDataFrame(
+        [("b.example.com", 4.0, 1)],
+        "host string, backoff_mult double, snap_set int",
+    )
+    store.commit(upserts={"host_backoff": {
+        "df": d2, "key": ["host"], "prune": backoff_prune_predicate(1)}})
+    entry = store.manifest()["snapshots"]["1"]["tables"]["host_backoff"]
+    assert entry["mode"] == "base"  # compacted
+    rows = store.read("host_backoff").collect()
+    assert [(r.host, r.backoff_mult) for r in rows] == [("b.example.com", 4.0)]
 
 
 def test_blocklist_wired_into_scheduler(spark, tmp_path):

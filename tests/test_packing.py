@@ -191,6 +191,26 @@ def test_duplicate_spans_stop_fingerprint_cap(spark):
     assert pairs[0]["n_shared"] == 1
 
 
+def test_duplicate_spans_df_gate_never_concentrates_hot_fp(spark):
+    """The df gate must be a groupBy (map-side partial combine), NOT a
+    count-over-Window.partitionBy(fp): a boilerplate fingerprint shared
+    by 10^6 docs would otherwise buffer as ONE window group in a single
+    task before the max_df filter saw it. Plan shape: no Window operator
+    anywhere in the pipeline, and a planted hot fp (df=40 ≫ max_df=3)
+    still gets gated out."""
+    boiler = "this exact boilerplate sentence appears on every single page"
+    texts = [f"{boiler} u{i} v{i} w{i} z{i}" for i in range(40)]
+    texts += ["rare pair span alpha beta gamma delta epsilon tail one",
+              "other rare pair span alpha beta gamma delta epsilon tail"]
+    df = duplicate_span_pairs(
+        _docs(spark, texts), n=5, stride=4, min_shared=1, max_df=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = [(r["doc_id_a"], r["doc_id_b"]) for r in df.collect()]
+    assert got == [(40, 41)]
+
+
 def test_pack_sequences_rejects_bad_seq_len(spark):
     from commoncrawl_fetcher_lite_spark.operators.packing import pack_sequences
 
