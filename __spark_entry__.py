@@ -354,6 +354,103 @@ def q_crawl_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_iteration_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every run_iteration branch in ONE oracle-hashed row (VERDICT r5
+    #4): two iterations through a real SnapshotStore with
+      * a domain BLOCKLIST committed at bootstrap — hosts hk%7==3
+        (host3/10/17) never scheduled (frontier/blocklist.py gate),
+      * a FAILING host — fetch reports success=false for host1, so
+        iteration 2 divides its quota by the committed backoff
+        multiplier 2 (politeness.backoff_delta lazy-decay state),
+      * OUTLINK DISCOVERY — fetched rows whose event_id%10==0 emit a
+        link to https://linked.example.com/l/<eid>; discovered URLs
+        join the frontier at priority 0.4 and the new host is scheduled
+        in iteration 2 under a fresh token bucket.
+    Token constants as q_crawl_iteration (burst 10, rate 1/s, dt 30 s,
+    max 100): iteration-1 quota 40; iteration-2 quota 30 for healthy
+    seed hosts, floor(30/2)=15 for host1, 40 for the fresh linked host.
+    The oracle recomputes blocklist membership, both token-bucket
+    iterations, the backoff halving, and the link set arithmetically.
+    Output: (iter, url, host, host_rank)."""
+    import tempfile
+
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        # distinct priorities (event_id unique) → tie-breaks never consulted
+        (F.col("value") + F.col("event_id") * F.lit(1e-9)).alias("priority"),
+        F.lit(0.0).alias("recrawl_score"),
+    )
+    blocklist = spark.createDataFrame(
+        [(f"host{k}.example.com", "ads") for k in (3, 10, 17)],
+        "domain string, category string",
+    )
+
+    def fetch(batch: DataFrame) -> DataFrame:
+        eid = F.regexp_extract("url", r"/e/(\d+)$", 1)
+        links = F.when(
+            F.col("url").rlike(r"/e/\d+$") & (eid.cast("long") % 10 == 0),
+            F.array(F.concat(F.lit("https://linked.example.com/l/"), eid)),
+        ).otherwise(F.lit(None).cast("array<string>"))
+        return batch.select(
+            "url",
+            "host",
+            (F.col("host") != "host1.example.com").alias("success"),
+            links.alias("links"),
+        )
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_full_"), spark)
+    scheduler.bootstrap(store, seeds, blocklist=blocklist)
+    cfg = FrontierConfig(
+        default_tokens_per_sec=1.0,
+        default_burst=10,
+        default_max_per_batch=100,
+        n_salt=4,
+    )
+    batches = []
+    for it in (1, 2):
+        scheduler.run_iteration(store, cfg, batch_seconds=30.0, fetch_fn=fetch)
+        batches.append(
+            store.read("batch").select("url").withColumn("iter", F.lit(it))
+        )
+    both = batches[0].unionByName(batches[1])
+    # url → (host, priority) map covering seeds AND every possible link
+    # (links all carry the discovery priority 0.4); ranking over batch
+    # members matches schedule_batch's (priority desc, url asc) order
+    # because the batch is a prefix of that order per host
+    prio_map = seeds.select("url", "host", "priority").unionByName(
+        ev.where(F.col("event_id") % 10 == 0).select(
+            F.concat(
+                F.lit("https://linked.example.com/l/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            F.lit("linked.example.com").alias("host"),
+            F.lit(0.4).alias("priority"),
+        )
+    )
+    joined = both.join(prio_map, "url")
+    w = Window.partitionBy("iter", "host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    return joined.select(
+        "iter", "url", "host", F.row_number().over(w).alias("host_rank")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1448,15 +1545,30 @@ def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order is the driver's sampling order: its CORRECTNESS
+    # artifact checks the FIRST 50 entries, so the least-battle-tested
+    # rows (newest operators) lead and the long-stable §2 rows — pinned
+    # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
-        "mime_count": q_mime_count,
-        "selector": q_selector,
-        "selector_null_semantics": q_selector_null_semantics,
-        "budget_prefix": q_budget_prefix,
-        "top_report": q_top_report,
-        "host_quota": q_host_quota,
-        "urlseen_antijoin": q_urlseen_antijoin,
-        "urlseen_bucketed": q_urlseen_bucketed,
+        # --- round-5/6 rows: newest first, inside the driver window ---
+        "repetition_signals": q_repetition_signals,
+        "mix_corpus": q_mix_corpus,
+        "shard_shuffle": q_shard_shuffle,
+        "semdedup": q_semdedup,
+        "tfidf_topk": q_tfidf_topk,
+        "normalize_text": q_normalize_text,
+        "holdout_split": q_holdout_split,
+        "blocklist": q_blocklist,
+        "ivfpq_ann": q_ivfpq_ann,
+        "chunk_documents": q_chunk_documents,
+        "corpus_prep": q_corpus_prep,
+        "sitemaps": q_sitemaps,
+        "sample_exact": q_sample_exact,
+        "streaming_host_metrics": q_streaming_host_metrics,
+        "crawl_delay_quota": q_crawl_delay_quota,
+        "host_backoff": q_host_backoff,
+        "crawl_iteration_full": q_crawl_iteration_full,
+        # --- flagship + mid-age rows ---
         "crawl_iteration": q_crawl_iteration,
         "gopher_quality": q_gopher_quality,
         "html_extract": q_html_extract,
@@ -1464,16 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "frontier_schedule": q_frontier_schedule,
         "frontier_schedule_diet": q_frontier_schedule_diet,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "pricing_summary": q_pricing_summary,
-        "join_revenue": q_join_revenue,
-        "region_revenue": q_region_revenue,
-        "sessionize": q_sessionize,
         "knn_cosine": q_knn_cosine,
-        "lang_breakdown": q_lang_breakdown,
-        "robots_filter": q_robots_filter,
         "robots_wildcards": q_robots_wildcards,
         "urlseen_blocked": q_urlseen_blocked,
         "media_classify": q_media_classify,
@@ -1499,22 +1602,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_stats": q_corpus_stats,
         "streaming_dedup": q_streaming_dedup,
-        "repetition_signals": q_repetition_signals,
-        "mix_corpus": q_mix_corpus,
-        "shard_shuffle": q_shard_shuffle,
-        "semdedup": q_semdedup,
-        "tfidf_topk": q_tfidf_topk,
-        "normalize_text": q_normalize_text,
-        "holdout_split": q_holdout_split,
-        "blocklist": q_blocklist,
-        "ivfpq_ann": q_ivfpq_ann,
-        "chunk_documents": q_chunk_documents,
-        "corpus_prep": q_corpus_prep,
-        "sitemaps": q_sitemaps,
-        "sample_exact": q_sample_exact,
-        "streaming_host_metrics": q_streaming_host_metrics,
-        "crawl_delay_quota": q_crawl_delay_quota,
-        "host_backoff": q_host_backoff,
+        # --- long-stable §2 rows (multi-round driver-green + pytest) ---
+        "mime_count": q_mime_count,
+        "selector": q_selector,
+        "selector_null_semantics": q_selector_null_semantics,
+        "budget_prefix": q_budget_prefix,
+        "top_report": q_top_report,
+        "host_quota": q_host_quota,
+        "urlseen_antijoin": q_urlseen_antijoin,
+        "urlseen_bucketed": q_urlseen_bucketed,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "pricing_summary": q_pricing_summary,
+        "join_revenue": q_join_revenue,
+        "region_revenue": q_region_revenue,
+        "sessionize": q_sessionize,
+        "lang_breakdown": q_lang_breakdown,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -1840,6 +1945,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INT) AS iter, url, host,
                    CAST(host_rank AS INT) AS host_rank FROM b2
         """,
+        # crawl_iteration_full: blocklist gate (hk%7==3 never scheduled),
+        # iteration-2 backoff halving for the all-failing host1, and
+        # outlink discovery (eid%10==0 -> linked.example.com at prio 0.4,
+        # fresh token bucket) — recomputed arithmetically
+        "crawl_iteration_full": """
+            WITH seeds AS (
+                SELECT 'https://host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com/e/' || CAST(event_id AS VARCHAR)
+                           AS url,
+                       'host' || CAST(user_id % 20 AS VARCHAR)
+                           || '.example.com' AS host,
+                       user_id % 20 AS hk,
+                       event_id AS eid,
+                       value + event_id * 1e-9 AS priority
+                FROM events),
+            unblocked AS (SELECT * FROM seeds WHERE hk % 7 <> 3),
+            r1 AS (
+                SELECT url, host, eid, priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url ASC) AS host_rank
+                FROM unblocked),
+            b1 AS (SELECT url, host, eid, host_rank FROM r1
+                   WHERE host_rank <= 40),
+            n1 AS (SELECT host, count(*) AS n FROM b1 GROUP BY host),
+            links AS (
+                SELECT DISTINCT 'https://linked.example.com/l/'
+                           || CAST(eid AS VARCHAR) AS url
+                FROM b1 WHERE eid % 10 = 0),
+            rem AS (
+                SELECT u.url, u.host, u.priority FROM unblocked u
+                WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.url = u.url)
+                UNION ALL
+                SELECT url, 'linked.example.com' AS host, 0.4 AS priority
+                FROM links),
+            q2 AS (
+                SELECT host,
+                       CAST(least(100, floor(least(40.0,
+                            coalesce(40.0 - n, 10.0) + 30.0))) AS INT)
+                           AS base_quota
+                FROM (SELECT DISTINCT host FROM rem) h
+                LEFT JOIN n1 USING (host)),
+            q2b AS (
+                SELECT host,
+                       CASE WHEN host = 'host1.example.com'
+                            THEN CAST(floor(base_quota / 2.0) AS INT)
+                            ELSE base_quota END AS quota
+                FROM q2),
+            r2 AS (
+                SELECT url, host, priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url ASC) AS host_rank
+                FROM rem),
+            b2 AS (SELECT r2.url, r2.host, r2.host_rank FROM r2
+                   JOIN q2b USING (host) WHERE host_rank <= q2b.quota)
+            SELECT CAST(1 AS INT) AS iter, url, host,
+                   CAST(host_rank AS INT) AS host_rank FROM b1
+            UNION ALL
+            SELECT CAST(2 AS INT) AS iter, url, host,
+                   CAST(host_rank AS INT) AS host_rank FROM b2
+        """,
         "gopher_quality": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1935,20 +2100,36 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id + 100000 AS VARCHAR)
                        || ' :: ' || text AS text
                 FROM documents),
-            s3 AS (
+            -- n_redactions = pattern matches at each stage (counted on
+            -- that stage's input), never placeholder occurrences in the
+            -- final text — a pre-existing literal '[EMAIL]' is not a
+            -- redaction
+            s1 AS (
                 SELECT doc_id,
-                       regexp_replace(regexp_replace(regexp_replace(text,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                           AS n_e,
+                       regexp_replace(text,
                            '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
-                           '[EMAIL]', 'g'),
-                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                           '[EMAIL]', 'g') AS t1
+                FROM salted),
+            s2 AS (
+                SELECT doc_id, n_e,
+                       len(regexp_extract_all(t1,
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_i,
+                       regexp_replace(t1,
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_e, n_i,
+                       len(regexp_extract_all(t2,
+                           '\\+?\\b\\d(?:[ .\\-]?\\d){8,14}\\b')) AS n_p,
+                       regexp_replace(t2,
                            '\\+?\\b\\d(?:[ .\\-]?\\d){8,14}\\b', '[PHONE]', 'g')
                            AS t
-                FROM salted)
+                FROM s2)
             SELECT doc_id, t AS text,
-                   CAST((length(t) - length(replace(t, '[EMAIL]', ''))) / 7
-                      + (length(t) - length(replace(t, '[IP]', ''))) / 4
-                      + (length(t) - length(replace(t, '[PHONE]', ''))) / 7
-                        AS INT) AS n_redactions
+                   CAST(n_e + n_i + n_p AS INT) AS n_redactions
             FROM s3
         """,
         "link_extract": """

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "crawl_delay_quota",
     # per-host failure backoff (multiplicative increase/decrease)
     "host_backoff",
+    # full loop: blocklist gate + backoff halving + outlink discovery,
+    # two snapshot-committed iterations (r6)
+    "crawl_iteration_full",
 ]
 
 

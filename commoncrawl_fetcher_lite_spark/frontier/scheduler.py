@@ -62,14 +62,19 @@ def bootstrap(
     store: SnapshotStore,
     seeds: DataFrame,
     robots: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
 ) -> int:
-    """Snapshot 0: initial frontier = deduped seeds; empty seen set."""
+    """Snapshot 0: initial frontier = deduped seeds; empty seen set.
+    Optional policy tables (robots rules, domain blocklist) commit with
+    the bootstrap snapshot and carry forward across iterations."""
     spark = store.spark
     frontier = with_url_hash(seeds).dropDuplicates(["url_hash", "url"])
     seen = spark.createDataFrame([], "url_hash long, url string")
     tables = {"frontier": frontier, "urlseen": seen}
     if robots is not None:
         tables["robots"] = robots
+    if blocklist is not None:
+        tables["blocklist"] = blocklist
     return store.commit(tables, metrics={"phase": "bootstrap"})
 
 

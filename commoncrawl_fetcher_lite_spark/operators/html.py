@@ -115,20 +115,25 @@ def scrub_documents(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, scrubbed text, n_redactions) — redaction count lets a
-    pipeline route PII-dense documents to review instead of training."""
-    scrubbed = scrub_pii(text_col)
+    pipeline route PII-dense documents to review instead of training.
+
+    n_redactions counts PATTERN MATCHES at each replacement stage (on
+    that stage's input, so each count sees exactly the text its replace
+    pass saw) — NOT placeholder occurrences in the final text, which
+    would miscount a source document that already contains a literal
+    '[EMAIL]' as a redaction (VERDICT r5 polish)."""
+    c0 = F.col(text_col) if isinstance(text_col, str) else text_col
+    t1 = F.regexp_replace(c0, _RE_EMAIL, "[EMAIL]")
+    t2 = F.regexp_replace(t1, _RE_IPV4, "[IP]")
+    t3 = F.regexp_replace(t2, _RE_PHONE, "[PHONE]")
     n_red = (
-        F.length(scrubbed)
-        - F.length(F.replace(scrubbed, F.lit("[EMAIL]"), F.lit("")))
-    ) / F.lit(7) + (
-        F.length(scrubbed) - F.length(F.replace(scrubbed, F.lit("[IP]"), F.lit("")))
-    ) / F.lit(4) + (
-        F.length(scrubbed)
-        - F.length(F.replace(scrubbed, F.lit("[PHONE]"), F.lit("")))
-    ) / F.lit(7)
+        F.size(F.regexp_extract_all(c0, F.lit(_RE_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(t1, F.lit(_RE_IPV4), F.lit(0)))
+        + F.size(F.regexp_extract_all(t2, F.lit(_RE_PHONE), F.lit(0)))
+    )
     return docs.select(
         F.col(id_col),
-        scrubbed.alias("text"),
+        t3.alias("text"),
         n_red.cast("int").alias("n_redactions"),
     )
 

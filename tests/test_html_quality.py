@@ -54,10 +54,15 @@ def test_scrub_pii_boundaries(spark):
             # strings with <4 groups untouched
             (5, "pi is 3.14159 and e is 2.71828"),
             (6, "mail admin@localhost stays (no TLD)"),
+            # a literal placeholder already in the SOURCE text is not a
+            # redaction (r5 polish: count matches, not placeholders)
+            (7, "says [EMAIL] verbatim, plus real a@b.io"),
         ],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in scrub_documents(docs).collect()}
+    assert got[7]["text"] == "says [EMAIL] verbatim, plus real [EMAIL]"
+    assert got[7]["n_redactions"] == 1
     assert got[1]["text"] == "[EMAIL] wrote" and got[1]["n_redactions"] == 1
     assert got[2]["text"] == "at [IP] and [IP]." and got[2]["n_redactions"] == 2
     assert got[3]["text"] == "call [PHONE] or [PHONE]"

@@ -307,6 +307,28 @@ def test_spread_for_compute_never_narrows(spark):
     assert spread_for_compute(narrow).rdd.getNumPartitions() == default
 
 
+def test_semdedup_pair_stage_ships_vectors_once(spark):
+    """VERDICT r5 #5: the within-cell quadratic must not be a
+    vector-carrying self-join. Plan shape of _cell_pairs: exactly ONE
+    Exchange (hashpartitioning on cell) feeding a grouped pandas stage,
+    and no join operator anywhere — each (id, vec) row is shuffled once,
+    the quadratic happens inside the task as a blocked matmul."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import _cell_pairs
+
+    cells = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.col("id").cast("double") + i for i in range(4)]).alias("v"),
+        (F.col("id") % 4).alias("cell"),
+    )
+    pairs = _cell_pairs(cells, tau=0.99, corpus_id="vec_id", corpus_vec="v")
+    plan = _plan(pairs)
+    tree = plan.split("\n\n")[0]  # the operator tree (details repeat names)
+    assert "FlatMapGroupsInPandas" in tree
+    assert tree.count("Exchange") == 1
+    assert "Join" not in plan
+    pairs.collect()  # and it executes
+
+
 def test_pick_n_buckets_sizing():
     """Computed bucket-count default (VERDICT r4 #8): ~1 GiB buckets,
     power-of-two, floor of 8; the 10^10-row crawl target lands at 1024
