@@ -183,6 +183,17 @@ class FrontierConfig:
     # an unscheduled refilled host converges to the same avail as a
     # fresh one).
     compact_shuffles: bool = False
+    # Bucketed host_state reads (frontier/bucketed.py): materialize the
+    # state's compacted BASE segment as a bucketed catalog table once per
+    # compaction generation and overlay the (O(batch)-sized) upsert delta
+    # as a broadcast — the refill join then plans zero Exchange above the
+    # state scan. At steady state host_state holds every host ever
+    # scheduled, so the per-iteration state shuffle this removes is the
+    # loop's second-largest after the seen anti-join (which the bucketed
+    # urlseen machinery already covers). OPT-IN because the rewrite
+    # needs a writable catalog + path (checkpoint root) and only pays
+    # once state ≫ batch.
+    bucketed_state: bool = False
 
 
 def _normalize_emit_dict(cfg: dict[str, Any]) -> dict[str, Any] | None:

@@ -121,6 +121,35 @@ def run_iteration(
     # (diet mode refills over PRE-seen-filter hosts — a benign superset:
     # an unscheduled refilled host converges to a fresh host's avail.)
     prev_state = store.read("host_state") if store.exists("host_state") else None
+    state_join = None
+    if cfg.bucketed_state and prev_state is not None:
+        # bucketed-state accelerator: the compacted base becomes a
+        # bucketed catalog table (once per compaction generation —
+        # ensure_state_bucketed caches on base_seq), the O(batch) upsert
+        # delta overlays as a broadcast; the refill join then plans zero
+        # Exchange above the state scan (tests/test_plan_audits.py)
+        import functools
+        import os as _os
+
+        from commoncrawl_fetcher_lite_spark.frontier.bucketed import (
+            ensure_state_bucketed,
+            join_state_bucketed,
+        )
+
+        base, delta, base_seq = store.read_upsert_split("host_state")
+        table = ensure_state_bucketed(
+            store.spark,
+            base,
+            name="host_state_bucketed",
+            base_seq=base_seq,
+            path_root=_os.path.join(store.root, "_bucketed"),
+        )
+        state_join = functools.partial(
+            join_state_bucketed,
+            spark=store.spark,
+            table=table,
+            delta=delta,
+        )
     refilled = refill_tokens(
         prev_state,
         candidates.select("host"),
@@ -130,6 +159,7 @@ def run_iteration(
         cfg.default_max_per_batch,
         host_budget=host_budget,
         robots=robots,
+        state_join=state_join,
     ).localCheckpoint(eager=True)  # reused by the quota join AND the debit
     quotas = refilled.select("host", "quota")
 

@@ -41,6 +41,42 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def tokens_nonempty(text_col: str | Column) -> Column:
+    """tokens() minus empty strings, WITHOUT the filter pass: splitting
+    on \\s+ can yield empty tokens ONLY at the two ends of the array (a
+    leading '\\t'/'\\n' that plain 0x20-`trim` leaves behind, or a
+    trailing one under split's limit=-1), so an end-check + conditional
+    slice replaces the per-row full-array copy that `filter(x != '')`
+    paid — the common case (clean ends, the overwhelming majority of a
+    real corpus) returns the split array itself with zero extra
+    allocation. A full-string regex strip was tried first and measured
+    SLOWER than the filter (the \\s+$ alternation rescans the whole
+    string). Identical values to filter(tokens(t), x != '') on every
+    input — property-tested including blank/whitespace-only strings.
+    Honest perf note (BENCH/BASELINE.md r6 probe): on the gopher GATE
+    kernel this is perf-neutral at the min (1.81 vs 1.84 s / 100k docs —
+    the bigram sort/run machinery dominates that kernel, not the token
+    copy); the saved allocation only matters to token-only consumers."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def _clean(arr):
+        n = F.size(arr)
+        first_empty = F.element_at(arr, 1) == ""
+        last_empty = (n > 1) & (F.element_at(arr, n) == "")
+        start = F.when(first_empty, F.lit(2)).otherwise(F.lit(1))
+        ln = n - start + 1 - F.when(last_empty, F.lit(1)).otherwise(F.lit(0))
+        return F.when(
+            first_empty | last_empty,
+            F.when(ln > 0, F.slice(arr, start, ln)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).otherwise(arr)
+
+    return let(F.split(F.trim(c), r"\s+"), _clean)
+
+
 def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
@@ -406,7 +442,7 @@ def gopher_quality(
         max_top2gram_frac,
         min_alpha_word_frac,
     )
-    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
+    toks_expr = tokens_nonempty(t)
     return docs.select(
         id_col, F.inline(F.array(let(toks_expr, _feats)))
     )
@@ -570,7 +606,7 @@ def gopher_gate(
         max_top2gram_frac,
         min_alpha_word_frac,
     )
-    toks_expr = F.filter(tokens(t), lambda x: x != F.lit(""))
+    toks_expr = tokens_nonempty(t)
     return let(toks_expr, lambda toks: _feats(toks)["gopher_pass"])
 
 
@@ -657,7 +693,7 @@ def repetition_signals(
 
         return _build(0, [])
 
-    toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    toks_expr = tokens_nonempty(F.col(text_col))
     return docs.select(id_col, F.inline(F.array(let(toks_expr, _feats))))
 
 
@@ -697,7 +733,7 @@ def tfidf_topk(
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(tokens(text_col), lambda x: x != F.lit(""))).alias("w"),
+        F.explode(tokens_nonempty(text_col)).alias("w"),
     )
     dt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
@@ -832,7 +868,7 @@ def chunk_documents(
             )
         )
 
-    toks_expr = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    toks_expr = tokens_nonempty(F.col(text_col))
     return docs.select(
         id_col, F.explode(let(toks_expr, _chunks)).alias("c")
     ).select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_text")

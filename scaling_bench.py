@@ -339,9 +339,30 @@ REPS = int(os.environ.get("SCALING_REPS", "2"))
 # focused re-measure); excluded workloads report rate 0 / eff 0.0
 ONLY = {
     w
-    for w in os.environ.get("SCALING_ONLY", "frontier,diet,cdx,scan,corpus").split(",")
+    for w in os.environ.get(
+        "SCALING_ONLY", "frontier,diet,cdx,scan,corpus,kernel"
+    ).split(",")
     if w
 }
+
+
+def workload_kernel(spark) -> float:
+    """W4k: the gopher GATE alone — docs.where(gopher_gate).count(), zero
+    shuffles, one WholeStageCodegen+HOF span. This is the controlled
+    ceiling probe for W4 (VERDICT r5 #6): a workload with no exchanges
+    cannot be shuffle-limited, so its N→4N efficiency IS the box's
+    HOF-allocation/memory-bandwidth ceiling for the text stack; W4's
+    composite efficiency sitting at this number means the composed plan
+    adds no scaling loss. The r6 allocation-diet experiment (slice-form
+    tokens_nonempty, regex-strip variant, mean-from-string variant)
+    moved the kernel's absolute time ≤2% at the min — the bigram
+    sort/run machinery dominates, so the ceiling stands."""
+    from commoncrawl_fetcher_lite_spark.operators.text import gopher_gate
+
+    docs = spark.read.parquet(os.path.join(DOC_DIR, "docs"))
+    t0 = time.perf_counter()
+    docs.where(gopher_gate(min_words=20)).count()
+    return time.perf_counter() - t0
 
 
 def _loadavg() -> float:
@@ -393,6 +414,7 @@ def run_level(cpus: int) -> dict:
     t_cdx = _time("cdx", workload_cdx)
     t_scan = _time("scan", workload_scan)
     t_corpus = _time("corpus", workload_corpus)
+    t_kernel = _time("kernel", workload_kernel)
     out = {
         "cpus": cpus,
         "frontier_sec": _sec(t_frontier),
@@ -405,6 +427,8 @@ def run_level(cpus: int) -> dict:
         "scan_urls_per_sec": _rate(N_SEEDS, t_scan),
         "corpus_sec": _sec(t_corpus),
         "corpus_docs_per_sec": _rate(N_DOCS, t_corpus),
+        "kernel_sec": _sec(t_kernel),
+        "kernel_docs_per_sec": _rate(N_DOCS, t_kernel),
         "loadavg_samples": loads,
     }
     spark.stop()
@@ -489,6 +513,7 @@ def main() -> None:
             "eff_cdx": _eff("cdx_lines_per_sec"),
             "eff_scan": _eff("scan_urls_per_sec"),
             "eff_corpus": _eff("corpus_docs_per_sec"),
+            "eff_kernel": _eff("kernel_docs_per_sec"),
             "level_n": res_n,
             "level_n4": res_n4,
         }
@@ -511,6 +536,7 @@ def main() -> None:
     eff_cdx = _median([p["eff_cdx"] for p in use])
     eff_scan = _median([p.get("eff_scan", 0.0) for p in use])
     eff_corpus = _median([p.get("eff_corpus", 0.0) for p in use])
+    eff_kernel = _median([p.get("eff_kernel", 0.0) for p in use])
 
     # leg-median efficiency: median rate per LEG first, then the ratio —
     # robust to a single contended leg poisoning its pair (a pair ratio
@@ -529,11 +555,13 @@ def main() -> None:
         "efficiency_cdx": round(eff_cdx, 3),
         "efficiency_scan": round(eff_scan, 3),
         "efficiency_corpus": round(eff_corpus, 3),
+        "efficiency_kernel": round(eff_kernel, 3),
         "efficiency_frontier_legmedian": _leg_eff("frontier_urls_per_sec"),
         "efficiency_diet_legmedian": _leg_eff("diet_urls_per_sec"),
         "efficiency_cdx_legmedian": _leg_eff("cdx_lines_per_sec"),
         "efficiency_scan_legmedian": _leg_eff("scan_urls_per_sec"),
         "efficiency_corpus_legmedian": _leg_eff("corpus_docs_per_sec"),
+        "efficiency_kernel_legmedian": _leg_eff("kernel_docs_per_sec"),
         "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
         "efficiency_diet_all": [p.get("eff_diet") for p in pairs],
         "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],

@@ -947,6 +947,58 @@ def test_backoff_lazy_decay_and_prune(spark, tmp_path):
     assert res3.n_scheduled == 8
 
 
+def test_bucketed_state_iterations_match_plain(spark, tmp_path):
+    """cfg.bucketed_state routes the refill join through the bucketed
+    catalog accelerator (base table per compaction generation + broadcast
+    delta overlay). Three iterations must schedule EXACTLY the same
+    batches as the plain path — the accelerator changes the plan, never
+    the semantics — and the catalog must hold one generation at a time."""
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier import scheduler
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+
+    rows = [
+        (f"https://h{h}.example.com/p{i:03d}", f"h{h}.example.com",
+         float(i % 11), None, 0.0)
+        for h in range(6)
+        for i in range(30)
+    ]
+    seeds = spark.createDataFrame(
+        rows,
+        "url string, host string, priority double, "
+        "discovered_ts timestamp, recrawl_score double",
+    )
+    batches = {}
+    for flag in (False, True):
+        store = SnapshotStore(
+            str(tmp_path / f"snap_{flag}"), spark, compact_every=2
+        )
+        scheduler.bootstrap(store, seeds)
+        cfg = FrontierConfig(
+            default_burst=4,
+            default_max_per_batch=6,
+            default_tokens_per_sec=3.0,
+            bucketed_state=flag,
+        )
+        got = []
+        for _ in range(3):
+            scheduler.run_iteration(store, cfg, batch_seconds=1.0)
+            got.append(
+                tuple(sorted(r.url for r in store.read("batch").collect()))
+            )
+        batches[flag] = got
+    assert batches[True] == batches[False]
+    # one cached generation in the catalog
+    gens = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("host_state_bucketed_s")
+    ]
+    assert len(gens) == 1
+    for t in gens:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_backoff_prune_drops_recovered_rows(spark, tmp_path):
     """Upsert compaction with the backoff prune predicate physically
     drops rows whose effective multiplier has decayed to 1."""

@@ -264,3 +264,38 @@ def test_mix_corpus_copy_count_bounds(spark, rate, n, seed):
     frac = rate - lo
     sigma = math.sqrt(n * frac * (1 - frac))
     assert abs(total - n * rate) <= 6 * sigma + 1e-9
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n.?!")), max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokens_nonempty_equals_filtered_tokens(spark, texts):
+    """tokens_nonempty (blank-guard, one array alloc) must equal
+    filter(tokens(t), x != '') (two allocs) on every input, including
+    blank/whitespace-only strings — the equivalence the r6 allocation
+    diet rests on."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.operators.text import (
+        tokens,
+        tokens_nonempty,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        tokens_nonempty("text").alias("fast"),
+        F.filter(tokens("text"), lambda x: x != F.lit("")).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.ref
