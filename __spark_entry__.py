@@ -451,6 +451,104 @@ def q_crawl_iteration_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum TOKEN-budget selection (operators/mixing.py
+    token_budget_mix): budgets en=5000 (partial keep), de=10000 (whole
+    stratum at sf0.01), zh=0 (dropped entirely), es/fr via the 2000
+    default — all four regimes in one row. Deterministic seeded-md5
+    order inside each stratum; the crossing document is included, so
+    kept strata reach >= budget. Output: (doc_id, lang, n_tokens,
+    cum_tokens_before)."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs,
+        budgets={"en": 5000, "de": 10000, "zh": 0},
+        default_budget=2000,
+        seed=42,
+    )
+
+
+def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule interleaved shape end-to-end (operators/spans.py):
+    each document becomes a spans array — text split at char 40 into two
+    text spans, doc_id%3 media spans between them — assembled
+    DELIBERATELY out of order (text tail first) so sorted_spans'
+    offset sort is load-bearing; docs with doc_id%7==0 get a gap in
+    their offsets to exercise the order_ok=false branch. Output per doc:
+    reassembled clean_text (must equal the original text), span-shape
+    stats, the span-order invariant verdict, and the in-order media-ref
+    manifest as a CSV. Pure Catalyst array/struct HOFs — no explode on
+    the doc-grained path."""
+    from commoncrawl_fetcher_lite_spark.operators.spans import (
+        sorted_spans,
+        span_stats,
+        spans_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 3).cast("int")
+    t2_off = (
+        F.when(F.col("doc_id") % 7 == 0, m + 2).otherwise(m + 1).cast("int")
+    )
+    text_span = lambda txt, off: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"),
+        txt.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off.alias("offset"),
+    )
+    media_spans = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("img://"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("/"),
+                    i.cast("string"),
+                ).alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )
+    )
+    spans = F.concat(
+        F.array(text_span(F.substring("text", 41, 1 << 20), t2_off)),
+        media_spans,
+        F.array(text_span(F.substring("text", 1, 40), F.lit(0).cast("int"))),
+    )
+    assembled = docs.select("doc_id", spans.alias("spans"))
+    stats = span_stats(assembled)
+    refs = assembled.select(
+        "doc_id",
+        spans_text("spans").alias("clean_text"),
+        F.array_join(
+            F.transform(
+                F.filter(sorted_spans("spans"), lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+            ",",
+        ).alias("media_csv"),
+    )
+    return refs.join(stats, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_spans",
+        "n_text",
+        "n_media",
+        "text_chars",
+        "order_ok",
+        "media_csv",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1568,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_quota": q_crawl_delay_quota,
         "host_backoff": q_host_backoff,
         "crawl_iteration_full": q_crawl_iteration_full,
+        "token_budget_mix": q_token_budget_mix,
+        "span_assembly": q_span_assembly,
         # --- flagship + mid-age rows ---
         "crawl_iteration": q_crawl_iteration,
         "gopher_quality": q_gopher_quality,
@@ -2004,6 +2104,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(2 AS INT) AS iter, url, host,
                    CAST(host_rank AS INT) AS host_rank FROM b2
+        """,
+        # token_budget_mix: seeded-md5 order per stratum, keep while the
+        # exclusive token prefix is under the stratum budget (the crossing
+        # doc is included); budgets en 5000 / de 10000 / zh 0, default 2000
+        "token_budget_mix": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR) || ':budget:42') AS k
+                FROM documents),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY lang
+                           ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens AS cum_tokens_before
+                FROM t)
+            SELECT doc_id, lang, n_tokens, cum_tokens_before
+            FROM c
+            WHERE cum_tokens_before < CASE lang
+                WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                WHEN 'zh' THEN 0 ELSE 2000 END
+        """,
+        # span_assembly: two text spans (split at char 40) + doc_id%3
+        # media spans; offsets contiguous except doc_id%7==0 (gap ->
+        # order_ok false); clean_text reassembles to the original text
+        "span_assembly": """
+            SELECT doc_id,
+                   text AS clean_text,
+                   CAST(2 + (doc_id % 3) AS INT) AS n_spans,
+                   CAST(2 AS INT) AS n_text,
+                   CAST(doc_id % 3 AS INT) AS n_media,
+                   CAST(length(text) AS INT) AS text_chars,
+                   (doc_id % 7 <> 0) AS order_ok,
+                   coalesce(array_to_string(
+                       list_transform(range(1, CAST(doc_id % 3 AS INT) + 1),
+                           i -> 'img://' || CAST(doc_id AS VARCHAR)
+                                || '/' || CAST(i AS VARCHAR)),
+                       ','), '') AS media_csv
+            FROM documents
         """,
         "gopher_quality": """
             WITH toks AS (

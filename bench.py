@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     # full loop: blocklist gate + backoff halving + outlink discovery,
     # two snapshot-committed iterations (r6)
     "crawl_iteration_full",
+    # per-stratum token-budget mix (distributed prefix sum per stratum)
+    "token_budget_mix",
+    # north-rule interleaved spans: sort/reassemble/stats, pure HOFs
+    "span_assembly",
 ]
 
 

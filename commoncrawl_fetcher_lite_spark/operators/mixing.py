@@ -190,3 +190,83 @@ def sample_exact(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget (the "data mix in tokens" spec —
+    '30B English tokens, 5B code tokens' — that real mix tables are
+    written in, where mix_corpus's per-DOC rates need the mean doc
+    length to convert): documents are ordered inside each stratum by a
+    seeded md5 lane (deterministic shuffle, ties by id) and kept while
+    the stratum's running token total is below its budget. The document
+    that CROSSES the budget boundary is included, so a stratum with
+    enough data always reaches >= its budget and the overshoot is at
+    most one document. Output: (id, stratum, n_tokens,
+    cum_tokens_before) for kept rows; a pure function of (ids, seed,
+    budgets) — rerun / partitioning / cluster-size invariant, and
+    adding new documents only perturbs selection near the boundary
+    (holdout_split's anti-contamination argument in token space).
+
+    Scale shape — pack_sequences' two-pass prefix sum, per stratum: a
+    naive `Window.partitionBy(stratum)` cumsum concentrates each
+    stratum in ONE task (a 30B-token language is most of the corpus).
+    Instead: range-repartition by (stratum, order-key) — frozen with an
+    eager localCheckpoint so both passes see the same layout — then
+    per-(partition, stratum) totals to the driver (bounded: partitions ×
+    strata rows), exclusive prefix per stratum across ascending
+    partitions, broadcast back, and cumsum WITHIN each partition. No
+    task ever holds more than its range slice of a stratum.
+    """
+    if any(b < 0 for b in budgets.values()) or default_budget < 0:
+        raise ValueError("token_budget_mix: budgets must be >= 0")
+    from commoncrawl_fetcher_lite_spark.operators.text import token_count
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        _md5_hex(F.col(id_col), seed, "budget").alias("_k"),
+    )
+    ranged = (
+        toks.repartitionByRange(F.col(stratum_col), F.col("_k"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid", stratum_col).agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()
+    acc: dict[str, int] = {}
+    prefix_rows = []
+    for r in sorted(totals, key=lambda r: (r[stratum_col], r["_pid"])):
+        s = r[stratum_col]
+        prefix_rows.append((int(r["_pid"]), s, acc.get(s, 0)))
+        acc[s] = acc.get(s, 0) + int(r["t"])
+    prefix_df = spark.createDataFrame(
+        prefix_rows, f"_pid int, {stratum_col} string, _prefix long"
+    )
+    w = (
+        Window.partitionBy("_pid", stratum_col)
+        .orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == s, F.lit(int(b))).otherwise(budget)
+    return (
+        ranged.join(F.broadcast(prefix_df), ["_pid", stratum_col])
+        .withColumn(
+            "cum_tokens_before",
+            F.col("_prefix") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .where(F.col("cum_tokens_before") < budget)
+        .select(id_col, stratum_col, "n_tokens", "cum_tokens_before")
+    )
