@@ -549,6 +549,28 @@ def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→doc embedding pooling (similarity.mean_pool_embeddings):
+    vectors grouped by vec_id%50 pool to their element-wise mean —
+    one groupBy with 64 scalar avg aggregates, JVM-side, no explode on
+    the aggregation path. Output exploded to (doc_id, n_vectors, i, val)
+    scalars so the oracle compare is float-tolerant per element."""
+    from commoncrawl_fetcher_lite_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    pooled = mean_pool_embeddings(emb, group_col="doc_id", dim=64)
+    return pooled.select(
+        "doc_id",
+        "n_vectors",
+        F.posexplode("embedding").alias("i", "val"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1668,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_iteration_full": q_crawl_iteration_full,
         "token_budget_mix": q_token_budget_mix,
         "span_assembly": q_span_assembly,
+        "mean_pool": q_mean_pool,
         # --- flagship + mid-age rows ---
         "crawl_iteration": q_crawl_iteration,
         "gopher_quality": q_gopher_quality,
@@ -2127,6 +2150,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_tokens_before < CASE lang
                 WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                 WHEN 'zh' THEN 0 ELSE 2000 END
+        """,
+        # mean_pool: element-wise mean per group (vec_id%50), exploded
+        # to per-dimension scalars; posexplode's i is 0-based
+        "mean_pool": """
+            WITH e AS (
+                SELECT vec_id % 50 AS doc_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+            n AS (SELECT doc_id, count(*) AS n_vectors FROM e GROUP BY doc_id),
+            u AS (
+                SELECT doc_id, i, round(avg(v[i]), 6) AS val
+                FROM e, range(1, 65) t(i)
+                GROUP BY doc_id, i)
+            SELECT u.doc_id, n.n_vectors,
+                   CAST(u.i - 1 AS INT) AS i, u.val
+            FROM u JOIN n USING (doc_id)
         """,
         # span_assembly: two text spans (split at char 40) + doc_id%3
         # media spans; offsets contiguous except doc_id%7==0 (gap ->

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "token_budget_mix",
     # north-rule interleaved spans: sort/reassemble/stats, pure HOFs
     "span_assembly",
+    # chunk->doc embedding mean-pool (64 scalar aggs, map-side combine)
+    "mean_pool",
 ]
 
 

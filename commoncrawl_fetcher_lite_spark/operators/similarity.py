@@ -733,3 +733,48 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def mean_pool_embeddings(
+    vectors: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "v",
+    dim: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Chunk→document embedding pooling: the element-wise MEAN of every
+    group's vectors — the standard way a chunk-embedded corpus
+    (chunk_documents → encoder) rolls back up to one vector per document
+    for doc-level ANN / SemDeDup. Output: (group, embedding
+    array<double>, n_vectors).
+
+    Scale shape: ONE groupBy(group) with `dim` scalar avg aggregates
+    (element_at per index) — hash aggregation with map-side partial
+    combine, JVM-side, no explode: the exchange carries one dim-wide row
+    per group per task, never one row per (vector, dimension) the
+    posexplode formulation would shuffle (dim× more rows). dim is the
+    embedding width (read from the first row when omitted — one bounded
+    driver lookup; pass it explicitly in pipelines).
+
+    Means are rounded to `round_dp` before re-assembly so BLAS/SQL
+    summation-order ulps can't flip a downstream tie (the ivf_topk
+    rounding rule)."""
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("mean_pool_embeddings: empty input needs dim=")
+        dim = int(first["d"])
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_d{i}")
+        for i in range(dim)
+    ]
+    pooled = vectors.groupBy(group_col).agg(
+        *aggs, F.count(F.lit(1)).alias("n_vectors")
+    )
+    return pooled.select(
+        group_col,
+        F.array(
+            *[F.round(F.col(f"_d{i}"), round_dp) for i in range(dim)]
+        ).alias("embedding"),
+        "n_vectors",
+    )

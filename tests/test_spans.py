@@ -140,3 +140,32 @@ def test_token_budget_mix_no_single_partition_window(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "_pid" in plan
+
+
+def test_mean_pool_embeddings_hand_computed(spark):
+    from commoncrawl_fetcher_lite_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, 4.0]),
+            ("b", [5.0, 6.0]),
+        ],
+        "doc_id string, v array<double>",
+    )
+    got = {r.doc_id: r for r in mean_pool_embeddings(vecs).collect()}
+    assert got["a"].embedding == [2.0, 3.0] and got["a"].n_vectors == 2
+    assert got["b"].embedding == [5.0, 6.0] and got["b"].n_vectors == 1
+    # explicit dim skips the driver lookup and must agree
+    got2 = {
+        r.doc_id: r.embedding
+        for r in mean_pool_embeddings(vecs, dim=2).collect()
+    }
+    assert got2 == {k: v.embedding for k, v in got.items()}
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id string, v array<double>")
+    with _pytest.raises(ValueError):
+        mean_pool_embeddings(empty)
