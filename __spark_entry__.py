@@ -483,7 +483,7 @@ def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc-grained path."""
     from commoncrawl_fetcher_lite_spark.operators.spans import (
         sorted_spans,
-        span_stats,
+        span_stats_expr,
         spans_text,
     )
 
@@ -525,8 +525,9 @@ def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(text_span(F.substring("text", 1, 40), F.lit(0).cast("int"))),
     )
     assembled = docs.select("doc_id", spans.alias("spans"))
-    stats = span_stats(assembled)
-    refs = assembled.select(
+    # ONE map-only projection: stats struct + reassembled text + media
+    # manifest together — no doc_id self-join to glue doc-grained frames
+    out = assembled.select(
         "doc_id",
         spans_text("spans").alias("clean_text"),
         F.array_join(
@@ -536,8 +537,9 @@ def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("media_csv"),
+        F.inline(F.array(span_stats_expr("spans"))),
     )
-    return refs.join(stats, "doc_id").select(
+    return out.select(
         "doc_id",
         "clean_text",
         "n_spans",

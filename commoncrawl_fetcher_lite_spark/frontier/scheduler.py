@@ -14,9 +14,13 @@ State commits are INCREMENTAL (round-3 fix for the 100 TB ceiling): each
 snapshot writes only O(batch) rows — urlseen appends the batch (exact:
 batch is anti-joined against the full seen set, so deltas are disjoint),
 frontier commits merge-on-read add/delete segments, host_state upserts the
-hosts touched this round. The SnapshotStore resolves reads as a merged view
-and compacts every K snapshots; at 10^10 seen URLs this turns ~1 TB of
-parquet I/O per iteration into megabytes.
+hosts touched this round, and host_backoff upserts ONLY the hosts tripped
+this round (healthy/untouched hosts halve by LAZY decay at read —
+politeness.effective_backoff — and recovered rows are pruned at
+compaction, the round-6 fix that removed the last O(all-known-hosts)
+commit). The SnapshotStore resolves reads as a merged view and compacts
+every K snapshots; at 10^10 seen URLs this turns ~1 TB of parquet I/O per
+iteration into megabytes.
 
 The reference has no analog (restart = refetch the world); this is the
 net-new north-rule machinery. Politeness/priority semantics live in

@@ -51,14 +51,15 @@ def spans_text(spans: Column | str = "spans", sep: str = "") -> Column:
     )
 
 
-def span_stats(
-    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document span shape: (id, n_spans, n_text, n_media,
-    text_chars, order_ok). `order_ok` asserts the reference's span-order
-    invariant — offsets are exactly the contiguous run 0..n-1 (any
-    gap, duplicate, or negative offset fails). One map-only projection."""
+def span_stats_expr(spans: Column | str = "spans") -> Column:
+    """The span_stats struct as a let-bound Column — compose it into a
+    wider projection (stats + reassembled text + manifest in ONE map
+    stage) instead of deriving separate doc-grained frames and paying a
+    self-join to glue them back (the plan q_span_assembly shipped with
+    before round 6 polish)."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    c = F.col(spans) if isinstance(spans, str) else spans
 
     def _stats(sp):
         n = F.size(sp)
@@ -90,8 +91,18 @@ def span_stats(
             order_ok.alias("order_ok"),
         )
 
+    return let(c, _stats)
+
+
+def span_stats(
+    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document span shape: (id, n_spans, n_text, n_media,
+    text_chars, order_ok). `order_ok` asserts the reference's span-order
+    invariant — offsets are exactly the contiguous run 0..n-1 (any
+    gap, duplicate, or negative offset fails). One map-only projection."""
     return docs.select(
-        F.col(id_col), F.inline(F.array(let(F.col(spans_col), _stats)))
+        F.col(id_col), F.inline(F.array(span_stats_expr(spans_col)))
     )
 
 

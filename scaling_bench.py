@@ -346,6 +346,35 @@ ONLY = {
 }
 
 
+def workload_tfidf(spark) -> float:
+    """W4t: tfidf_topk alone over the synthetic docs — the composite's
+    SHUFFLE-heavy stage isolated (word explode → two map-side-combined
+    groupBys → term join → bounded window). Together with W4c this
+    attributes the composite's scaling gap: kernel (map-only) measures
+    ~0.83, so whatever the composite loses below that is paid in the
+    exchanges, which share ONE box's memory bandwidth under local[N] —
+    the resource a real 4N-node cluster grows with nodes."""
+    from commoncrawl_fetcher_lite_spark.operators.text import tfidf_topk
+
+    docs = spark.read.parquet(os.path.join(DOC_DIR, "docs"))
+    t0 = time.perf_counter()
+    tfidf_topk(docs, k=3).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def workload_chunk(spark) -> float:
+    """W4c: chunk_documents alone — map-only posexplode + write, the
+    composite's zero-shuffle fan-out stage isolated."""
+    from commoncrawl_fetcher_lite_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(os.path.join(DOC_DIR, "docs"))
+    t0 = time.perf_counter()
+    chunk_documents(docs, max_tokens=32, overlap=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def workload_kernel(spark) -> float:
     """W4k: the gopher GATE alone — docs.where(gopher_gate).count(), zero
     shuffles, one WholeStageCodegen+HOF span. This is the controlled
@@ -415,6 +444,8 @@ def run_level(cpus: int) -> dict:
     t_scan = _time("scan", workload_scan)
     t_corpus = _time("corpus", workload_corpus)
     t_kernel = _time("kernel", workload_kernel)
+    t_tfidf = _time("tfidf", workload_tfidf)
+    t_chunk = _time("chunk", workload_chunk)
     out = {
         "cpus": cpus,
         "frontier_sec": _sec(t_frontier),
@@ -429,6 +460,10 @@ def run_level(cpus: int) -> dict:
         "corpus_docs_per_sec": _rate(N_DOCS, t_corpus),
         "kernel_sec": _sec(t_kernel),
         "kernel_docs_per_sec": _rate(N_DOCS, t_kernel),
+        "tfidf_sec": _sec(t_tfidf),
+        "tfidf_docs_per_sec": _rate(N_DOCS, t_tfidf),
+        "chunk_sec": _sec(t_chunk),
+        "chunk_docs_per_sec": _rate(N_DOCS, t_chunk),
         "loadavg_samples": loads,
     }
     spark.stop()
@@ -514,6 +549,8 @@ def main() -> None:
             "eff_scan": _eff("scan_urls_per_sec"),
             "eff_corpus": _eff("corpus_docs_per_sec"),
             "eff_kernel": _eff("kernel_docs_per_sec"),
+            "eff_tfidf": _eff("tfidf_docs_per_sec"),
+            "eff_chunk": _eff("chunk_docs_per_sec"),
             "level_n": res_n,
             "level_n4": res_n4,
         }
@@ -537,6 +574,8 @@ def main() -> None:
     eff_scan = _median([p.get("eff_scan", 0.0) for p in use])
     eff_corpus = _median([p.get("eff_corpus", 0.0) for p in use])
     eff_kernel = _median([p.get("eff_kernel", 0.0) for p in use])
+    eff_tfidf = _median([p.get("eff_tfidf", 0.0) for p in use])
+    eff_chunk = _median([p.get("eff_chunk", 0.0) for p in use])
 
     # leg-median efficiency: median rate per LEG first, then the ratio —
     # robust to a single contended leg poisoning its pair (a pair ratio
@@ -556,12 +595,16 @@ def main() -> None:
         "efficiency_scan": round(eff_scan, 3),
         "efficiency_corpus": round(eff_corpus, 3),
         "efficiency_kernel": round(eff_kernel, 3),
+        "efficiency_tfidf": round(eff_tfidf, 3),
+        "efficiency_chunk": round(eff_chunk, 3),
         "efficiency_frontier_legmedian": _leg_eff("frontier_urls_per_sec"),
         "efficiency_diet_legmedian": _leg_eff("diet_urls_per_sec"),
         "efficiency_cdx_legmedian": _leg_eff("cdx_lines_per_sec"),
         "efficiency_scan_legmedian": _leg_eff("scan_urls_per_sec"),
         "efficiency_corpus_legmedian": _leg_eff("corpus_docs_per_sec"),
         "efficiency_kernel_legmedian": _leg_eff("kernel_docs_per_sec"),
+        "efficiency_tfidf_legmedian": _leg_eff("tfidf_docs_per_sec"),
+        "efficiency_chunk_legmedian": _leg_eff("chunk_docs_per_sec"),
         "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
         "efficiency_diet_all": [p.get("eff_diet") for p in pairs],
         "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],

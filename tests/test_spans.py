@@ -169,3 +169,14 @@ def test_mean_pool_embeddings_hand_computed(spark):
     empty = spark.createDataFrame([], "doc_id string, v array<double>")
     with _pytest.raises(ValueError):
         mean_pool_embeddings(empty)
+
+
+def test_span_assembly_query_is_map_only(spark):
+    """The driver row computes stats + reassembly + manifest in ONE
+    projection: no Exchange, no Join anywhere in the plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_span_assembly(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
