@@ -470,6 +470,28 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/mixing.py dsir_select,
+    Xie et al. 2023): hashed unigram+bigram features (4096 md5 buckets),
+    add-1-smoothed target/raw bucket distributions with target =
+    lang='en' documents, per-doc importance log-weight = count-weighted
+    sum of bucket log-ratios, then Gumbel-top-100 selection on a seeded
+    md5 lane. Scores round to 6dp with doc-id tie-break so the cut is
+    engine-independent. Output: the 100 selected rows
+    (doc_id, n_feats, dsir_logw, sel_score)."""
+    from commoncrawl_fetcher_lite_spark.operators.mixing import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        k=100,
+        n_buckets=4096,
+        alpha=1.0,
+        seed=42,
+    )
+
+
 def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule interleaved shape end-to-end (operators/spans.py):
     each document becomes a spans array — text split at char 40 into two
@@ -1673,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "dsir_select": q_dsir_select,
         "repetition_signals": q_repetition_signals,
         "mix_corpus": q_mix_corpus,
         "shard_shuffle": q_shard_shuffle,
@@ -1903,6 +1926,44 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "dsir_select": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+            feats AS (
+                SELECT doc_id, lang,
+                       unnest(w || list_transform(
+                           list_zip(w[1:len(w)-1], w[2:len(w)]),
+                           x -> x[1] || ' ' || x[2])) AS f
+                FROM tok),
+            fb AS (SELECT doc_id, lang,
+                          CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                              % 4096 AS b
+                   FROM feats),
+            cr AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+            ct AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en'
+                   GROUP BY b),
+            tr AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cr),
+            tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ct),
+            lr AS (SELECT cr.b,
+                          ln((coalesce(ct.c, 0) + 1.0) / (tt.t + 4096.0))
+                        - ln((cr.c + 1.0) / (tr.t + 4096.0)) AS logratio
+                   FROM cr LEFT JOIN ct ON cr.b = ct.b
+                   CROSS JOIN tr CROSS JOIN tt),
+            dw AS (SELECT doc_id, count(*) AS n_feats,
+                          round(sum(logratio), 6) AS dsir_logw
+                   FROM fb JOIN lr ON fb.b = lr.b GROUP BY doc_id)
+            SELECT doc_id, n_feats, dsir_logw,
+                   round(dsir_logw - ln(-ln(
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || ':dsir_gumbel:42'), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0)), 6) AS sel_score
+            FROM dw
+            ORDER BY sel_score DESC, doc_id
+            LIMIT 100
+        """,
         "lsh_ann": _lsh_ann_oracle_sql(),
         "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_ann": """

@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "span_assembly",
     # chunk->doc embedding mean-pool (64 scalar aggs, map-side combine)
     "mean_pool",
+    # DSIR importance resampling: hashed n-gram buckets, broadcast
+    # log-ratio table, Gumbel top-k (r6)
+    "dsir_select",
 ]
 
 

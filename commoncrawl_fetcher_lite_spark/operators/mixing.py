@@ -270,3 +270,158 @@ def token_budget_mix(
         .where(F.col("cum_tokens_before") < budget)
         .select(id_col, stratum_col, "n_tokens", "cum_tokens_before")
     )
+
+
+def dsir_hash_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Hashed n-gram feature extraction for DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    each document's unigrams and bigrams are hashed into `n_buckets`
+    fixed buckets — the dimensionality reduction that makes importance
+    estimation tractable at corpus scale (the distribution lives in a
+    B-sized table no matter how large the corpus is).
+
+    Output: (doc_id, bucket) — ONE ROW PER FEATURE OCCURRENCE (the
+    weight sum is count-weighted, so multiplicity matters).
+
+    The hash is unseeded md5 (first 8 hex chars mod B) so the DuckDB
+    oracle reproduces bucket ids bit-for-bit; the bigram array is built
+    with zip_with over two slices of ONE let-bound token array — no
+    re-tokenization per n-gram order, no Python in the row path."""
+    if n_buckets <= 0:
+        raise ValueError("dsir_hash_features: n_buckets must be > 0")
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+    from commoncrawl_fetcher_lite_spark.operators.text import tokens_nonempty
+
+    feats = let(
+        tokens_nonempty(text_col),
+        lambda t: F.concat(
+            t,
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(feats).alias("f")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights: score every raw document by how much
+    its hashed-n-gram distribution looks like the TARGET corpus rather
+    than the RAW corpus — log w(x) = Σ_features [log p_target(b(f)) −
+    log p_raw(b(f))], with add-`alpha` smoothing on both bucket
+    distributions. High weight = target-like text (the signal DSIR
+    resamples on to select pretraining data matching a quality/domain
+    target such as Wikipedia+books).
+
+    Output: (doc_id, n_feats, dsir_logw[round 6]).
+
+    Scale shape: feature explode is map-only scan work; the two bucket
+    histograms are groupBy(bucket) on int keys where map-side combine
+    collapses the zipfian fan-in, and each is AT MOST `n_buckets` rows —
+    the log-ratio table therefore broadcasts unconditionally (8192 rows
+    default; the paper's 10^4 likewise). The per-doc sum is one
+    groupBy(doc_id) over the exploded frame joined map-side against the
+    broadcast ratio table: ZERO all-to-all shuffles carry anything wider
+    than (doc_id, bucket). The skinny feature frame is checkpointed once
+    because both the histogram and the scoring pass read it — same
+    materialize-don't-recompute call as duplicate_span_pairs."""
+    if alpha <= 0:
+        raise ValueError("dsir_weights: alpha must be > 0 (smoothing)")
+    fr = dsir_hash_features(
+        docs, text_col, id_col, n_buckets
+    ).localCheckpoint(eager=True)
+    ft = dsir_hash_features(target, text_col, id_col, n_buckets)
+    cr = fr.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    ct = ft.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    tot_r = cr.agg(F.sum("c_raw").cast("double").alias("t_raw"))
+    tot_t = ct.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("double").alias("t_tgt")
+    )
+    a = float(alpha)
+    ab = a * n_buckets
+    lr = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + a)
+                    / (F.col("t_tgt") + ab)
+                )
+                - F.log((F.col("c_raw") + a) / (F.col("t_raw") + ab))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        fr.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logratio"), 6).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k resampling WITHOUT
+    replacement over the importance weights — adding an independent
+    Gumbel(0,1) to each log-weight and taking the k largest draws
+    exactly k docs with probability proportional to w(x), the
+    importance-resampling step of the paper. The Gumbel noise is
+    derived from a seeded md5 lane (−ln(−ln u), u uniform from the
+    doc id), so the selected set is a pure function of (ids, seed) —
+    rerun / partitioning / cluster-size invariant, and the DuckDB
+    oracle reproduces the draw exactly. Scores round to 6dp with a
+    doc-id tie-break so the cut line is engine-independent.
+
+    Output: the k selected rows (doc_id, n_feats, dsir_logw,
+    sel_score), descending by score.
+
+    Scale shape: dsir_weights is one row per doc; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    never a global sort."""
+    if k <= 0:
+        raise ValueError("dsir_select: k must be > 0")
+    w = dsir_weights(docs, target, text_col, id_col, n_buckets, alpha)
+    u = (_md5_u32(F.col("doc_id"), seed, "dsir_gumbel").cast("double") + 0.5) / F.lit(
+        _U32
+    )
+    score = F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("sel_score", score)
+        .orderBy(F.desc("sel_score"), F.col("doc_id"))
+        .limit(int(k))
+    )

@@ -239,3 +239,86 @@ def test_sample_exact_uses_window_group_limit(docs):
 
     plan = _plan(sample_exact(docs, k=5, stratum_col="lang"))
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    """Two token distributions: 'target-like' docs speak apple/banana,
+    'noise' docs speak zebra/quux — disjoint vocabularies so importance
+    weights must separate them cleanly."""
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, "apple banana apple cherry banana apple", "tgt"))
+        else:
+            rows.append((i, "zebra quux zorp mumble quux zebra", "noise"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_dsir_weights_separate_target_like_docs(dsir_docs):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import dsir_weights
+
+    target = dsir_docs.where("kind = 'tgt'")
+    w = dsir_weights(dsir_docs, target, n_buckets=1024).join(
+        dsir_docs.select("doc_id", "kind"), "doc_id"
+    )
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == 60
+    tgt = [r["dsir_logw"] for r in rows.values() if r["kind"] == "tgt"]
+    noise = [r["dsir_logw"] for r in rows.values() if r["kind"] == "noise"]
+    # every target-like doc outscores every noise doc (disjoint vocab)
+    assert min(tgt) > max(noise)
+    # n_feats = unigrams + bigrams = 6 + 5 for every doc here
+    assert {r["n_feats"] for r in rows.values()} == {11}
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import (
+        dsir_hash_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a b")], "doc_id long, text string"
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in dsir_hash_features(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 3}  # 1 unigram; 2 unigrams + 1 bigram
+
+
+def test_dsir_select_deterministic_across_partitioning(dsir_docs):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import dsir_select
+
+    target = dsir_docs.where("kind = 'tgt'")
+    a = dsir_select(dsir_docs, target, k=20, n_buckets=512, seed=7)
+    b = dsir_select(
+        dsir_docs.repartition(13), target.repartition(3), k=20,
+        n_buckets=512, seed=7,
+    )
+    assert [r["doc_id"] for r in a.collect()] == [
+        r["doc_id"] for r in b.collect()
+    ]
+    # a different seed reshuffles the Gumbel draw
+    c = dsir_select(dsir_docs, target, k=20, n_buckets=512, seed=8)
+    assert [r["doc_id"] for r in a.collect()] != [
+        r["doc_id"] for r in c.collect()
+    ]
+
+
+def test_dsir_ratio_join_is_broadcast_and_topk_never_global_sorts(dsir_docs):
+    from commoncrawl_fetcher_lite_spark.operators.mixing import dsir_select
+
+    target = dsir_docs.where("kind = 'tgt'")
+    plan = _plan(dsir_select(dsir_docs, target, k=5, n_buckets=512))
+    # the <=n_buckets-row log-ratio table must broadcast to the scoring
+    # pass, and the k-row cut must be TakeOrderedAndProject, not a
+    # global Sort+Exchange over the whole weights frame
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
