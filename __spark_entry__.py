@@ -470,6 +470,33 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup (operators/dedup.py
+    incremental_neardup): even doc_ids play the already-ingested corpus
+    (their lsh_bucket_frame is the persisted state — in production it
+    round-trips through the SnapshotStore, pytest proves that), odd
+    doc_ids arrive as the new batch. Candidates come from the
+    batch⋈state bucket join plus the batch's internal self-join; exact
+    Jaccard verifies (corpus shingles re-derived only for matched
+    candidates); each dup reports its MIN-id partner. bands=32/64 perms
+    → miss prob ~1e-23 at the fixture's J≥0.9 pairs, so LSH == the
+    oracle's exact all-pairs truth (the q_minhash_lsh argument).
+    Output: (doc_id, dup_of, jaccard)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bucket_frame,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    state = lsh_bucket_frame(corpus, bands=32, num_perm=64)
+    dups, _new_buckets = incremental_neardup(
+        batch, state, corpus, bands=32, num_perm=64, threshold=0.5
+    )
+    return dups
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/mixing.py dsir_select,
     Xie et al. 2023): hashed unigram+bigram features (4096 md5 buckets),
@@ -1695,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "incremental_neardup": q_incremental_neardup,
         "dsir_select": q_dsir_select,
         "repetition_signals": q_repetition_signals,
         "mix_corpus": q_mix_corpus,
@@ -1926,6 +1954,24 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "incremental_neardup": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                   FROM t WHERE len(w) >= 3),
+            pairs AS (
+                SELECT d.doc_id, c.doc_id AS cand,
+                       len(list_intersect(d.s, c.s)) * 1.0
+                           / len(list_distinct(list_concat(d.s, c.s))) AS j
+                FROM sh d JOIN sh c
+                  ON d.doc_id % 2 = 1
+                 AND (c.doc_id % 2 = 0 OR c.doc_id < d.doc_id))
+            SELECT doc_id, cand AS dup_of, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cand) = 1
+        """,
         "dsir_select": r"""
             WITH tok AS (
                 SELECT doc_id, lang,

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     # DSIR importance resampling: hashed n-gram buckets, broadcast
     # log-ratio table, Gumbel top-k (r6)
     "dsir_select",
+    # batch-vs-state LSH dedup: O(batch) against a persisted corpus (r6)
+    "incremental_neardup",
 ]
 
 

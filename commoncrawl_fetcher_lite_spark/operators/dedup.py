@@ -145,7 +145,7 @@ def shingle_frame(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_bucket_frame(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -154,10 +154,11 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded minhash bucket join.
-
-    bands=16, rows=4 over 64 perms → pairs with J≈0.5 caught w.p. ~0.88,
-    J≈0.7 w.p. ~0.998. Output: (id_a, id_b) candidates, id_a < id_b.
+    """(id, band_id, band_hash) banded-minhash bucket frame — the
+    JOINABLE (and PERSISTABLE) form of a corpus's LSH state: ~24 B ×
+    `bands` rows per doc, no shingles, no signatures. Both the batch
+    self-join (minhash_lsh_candidates) and the incremental
+    batch-vs-state join (incremental_neardup) consume this shape.
     `shingles`: precomputed shingle_frame to reuse across stages."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
@@ -181,8 +182,27 @@ def minhash_lsh_candidates(
             ),
         ),
     )
-    buckets = sh.select("id", F.explode(bands_expr).alias("b")).select(
+    return sh.select("id", F.explode(bands_expr).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash bucket join.
+
+    bands=16, rows=4 over 64 perms → pairs with J≈0.5 caught w.p. ~0.88,
+    J≈0.7 w.p. ~0.998. Output: (id_a, id_b) candidates, id_a < id_b.
+    `shingles`: precomputed shingle_frame to reuse across stages."""
+    buckets = lsh_bucket_frame(
+        docs, text_col, id_col, n, num_perm, bands, shingles
     )
     # materialize once: the self-join would otherwise run the whole
     # shingle→minhash pipeline twice (once per side). localCheckpoint
@@ -235,6 +255,128 @@ def verify_jaccard(
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
     return out
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    state_buckets: DataFrame | None,
+    corpus_docs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup a NEW crawl batch against the EXISTING corpus without
+    ever re-bucketing the corpus — the only shape that works when the
+    corpus is 100 TB and the batch is a day's crawl: whole-corpus dedup
+    is O(corpus) every run; this is O(batch + matched candidates).
+
+    State is the skinny `lsh_bucket_frame` shape (id, band_id,
+    band_hash — ~24 B × bands rows per doc, no shingles/signatures), the
+    same append-only table the SnapshotStore pattern persists per crawl
+    iteration (tests round-trip it through a store commit).
+
+    Per batch:
+      1. bucket the batch once (shingle → minhash → bands, checkpointed);
+      2. candidates = batch ⋈ state on (band_id, band_hash)  — the state
+         side is a bucket-keyed equi-join probe, never a scan-side
+         recompute — PLUS the batch's internal self-join (a batch can
+         duplicate itself);
+      3. exact-Jaccard verify: shingles are re-derived ONLY for the
+         candidate corpus docs (semi-join on matched ids → point reads
+         of a tiny fraction of the corpus), batch-side shingles reused
+         from step 1;
+      4. each duplicate batch doc reports its canonical partner =
+         MIN matching id (earlier corpus doc, or earlier batch doc),
+         deterministic under any partitioning.
+
+    Returns (dups, new_buckets):
+      dups        — (doc_id, dup_of, jaccard[round 4]) one row per
+                    duplicate batch doc;
+      new_buckets — the batch's bucket frame, for the caller to append
+                    to state (dups included: a near-dup can still be the
+                    canonical partner of later arrivals).
+    """
+    sh_batch = shingle_frame(batch, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    buckets = lsh_bucket_frame(
+        batch, text_col, id_col, n, num_perm, bands, shingles=sh_batch
+    ).localCheckpoint(eager=True)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand_internal = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("cand"))
+        .distinct()
+    )
+    sh_cand_sides = [
+        cand_internal.join(
+            sh_batch.select(
+                F.col("id").alias("cand"), F.col("sh").alias("sh_cand")
+            ),
+            "cand",
+        )
+    ]
+    if state_buckets is not None:
+        s = state_buckets.alias("s")
+        cand_state = (
+            a.join(
+                s,
+                (F.col("a.band_id") == F.col("s.band_id"))
+                & (F.col("a.band_hash") == F.col("s.band_hash")),
+            )
+            .select(F.col("a.id").alias("id"), F.col("s.id").alias("cand"))
+            .distinct()
+        )
+        if corpus_docs is None:
+            raise ValueError(
+                "incremental_neardup: corpus_docs required to verify "
+                "against a non-empty state (candidate shingle fetch)"
+            )
+        # shingle ONLY the matched corpus docs: semi-join first, so the
+        # 100 TB corpus contributes point reads, not a scan
+        matched = corpus_docs.join(
+            cand_state.select(F.col("cand").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        sh_state = shingle_frame(matched, text_col, id_col, n).select(
+            F.col("id").alias("cand"), F.col("sh").alias("sh_cand")
+        )
+        sh_cand_sides.append(cand_state.join(sh_state, "cand"))
+    pairs = sh_cand_sides[0]
+    for extra in sh_cand_sides[1:]:
+        pairs = pairs.unionByName(extra)
+    verified = (
+        pairs.join(
+            sh_batch.select("id", F.col("sh").alias("sh_new")), "id"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_new", "sh_cand"))
+            / F.size(F.array_union("sh_new", "sh_cand")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    # canonical partner = MIN cand id; one struct-min agg carries its
+    # jaccard along (struct ordering is field-lexicographic, cand first)
+    dups = (
+        verified.groupBy("id")
+        .agg(F.min(F.struct(F.col("cand"), F.col("jaccard"))).alias("_m"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("_m.cand").alias("dup_of"),
+            F.round(F.col("_m.jaccard"), 4).alias("jaccard"),
+        )
+    )
+    return dups, buckets
 
 
 def ngram_jaccard_pairs(

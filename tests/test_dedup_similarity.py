@@ -492,3 +492,94 @@ def test_ivfpq_rejects_indivisible_dim(spark):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     with pytest.raises(ValueError):
         ivfpq_topk(q, emb, m=4)
+
+
+# ------------------------------------------------- incremental near-dedup
+
+
+def test_incremental_neardup_matches_batch_and_state(spark, neardup_docs):
+    """Split the family corpus: originals (doc_id%3==0) are the ingested
+    corpus, variants arrive as the new batch. Every variant must be
+    flagged with dup_of = its family's original (the MIN matching id);
+    the two variants of one family also match each other, but the
+    original still wins the canonical-partner min."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bucket_frame,
+    )
+
+    corpus = neardup_docs.where("doc_id % 3 = 0")
+    batch = neardup_docs.where("doc_id % 3 != 0")
+    state = lsh_bucket_frame(corpus, bands=32, num_perm=64)
+    dups, new_buckets = incremental_neardup(
+        batch, state, corpus, bands=32, num_perm=64, threshold=0.5
+    )
+    got = {r["doc_id"]: r["dup_of"] for r in dups.collect()}
+    # every batch doc is a near-dup of its family original (id = fam*3)
+    assert got == {i: (i // 3) * 3 for i in range(60) if i % 3 != 0}
+    # returned buckets cover every batch doc, ready to append to state
+    assert new_buckets.select("id").distinct().count() == 40
+
+
+def test_incremental_neardup_empty_state_is_self_dedup(spark, neardup_docs):
+    """state=None: only internal batch pairs count, and the canonical
+    partner is the earlier batch doc."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    dups, _ = incremental_neardup(
+        neardup_docs, None, None, bands=32, num_perm=64, threshold=0.5
+    )
+    got = {r["doc_id"]: r["dup_of"] for r in dups.collect()}
+    # each family's original (fam*3) is clean; both variants dup it —
+    # the two variants differ from EACH OTHER by 3 token positions
+    # (J≈0.46 < 0.5), so the original is their only partner
+    assert got == {
+        fam * 3 + v: fam * 3 for fam in range(20) for v in (1, 2)
+    }
+
+
+def test_incremental_neardup_state_roundtrips_snapshot_store(
+    spark, neardup_docs, tmp_path
+):
+    """The bucket state survives a SnapshotStore append commit: batch 1's
+    buckets are committed, read back at the next iteration, and batch 2
+    dedups against the STORED frame — the crawl-loop wiring."""
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import (
+        SnapshotStore,
+    )
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    store = SnapshotStore(str(tmp_path / "dedup_state"), spark)
+    b1 = neardup_docs.where("doc_id % 3 = 0")
+    b2 = neardup_docs.where("doc_id % 3 = 1")
+    d1, buckets1 = incremental_neardup(
+        b1, None, None, bands=32, num_perm=64
+    )
+    assert d1.count() == 0  # originals are mutually unrelated
+    store.commit(appends={"lsh_buckets": buckets1})
+    state = store.read("lsh_buckets")
+    d2, _ = incremental_neardup(
+        b2, state, b1, bands=32, num_perm=64, threshold=0.5
+    )
+    got = {r["doc_id"]: (r["dup_of"], r["jaccard"]) for r in d2.collect()}
+    assert set(got) == {fam * 3 + 1 for fam in range(20)}
+    for doc_id, (dup_of, j) in got.items():
+        assert dup_of == doc_id - 1 and j >= 0.5
+
+
+def test_incremental_neardup_requires_corpus_docs_with_state(
+    spark, neardup_docs
+):
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bucket_frame,
+    )
+
+    corpus = neardup_docs.where("doc_id % 3 = 0")
+    state = lsh_bucket_frame(corpus)
+    with pytest.raises(ValueError, match="corpus_docs"):
+        incremental_neardup(neardup_docs, state, None)
