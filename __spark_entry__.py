@@ -470,6 +470,88 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (frontier/hostrank.py): a deterministic
+    41-host graph is derived arithmetically from doc_ids (src = doc_id
+    mod 37, two md5-lane destinations mod 41 — hosts h37-h40 never
+    appear as sources, exercising the dangling-mass term), then 10
+    damped power iterations. The oracle unrolls the same 10 iterations
+    as generated CTEs. Output: (host, rank)."""
+    from commoncrawl_fetcher_lite_spark.frontier.hostrank import host_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+
+    def lane(label: str):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", d, F.lit(label))), 1, 8), 16, 10
+        ).cast("long")
+
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+    e1 = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("h"), (lane("e1") % 41).cast("string")).alias("dst"),
+    )
+    e2 = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("h"), (lane("e2") % 41).cast("string")).alias("dst"),
+    )
+    return host_pagerank(e1.unionByName(e2), n_iter=10, damping=0.85)
+
+
+def _host_pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring host_pagerank exactly
+    (same op structure so both engines hit identical IEEE doubles before
+    the final 6-dp rounding)."""
+
+    def lane_sql(label: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            f"':{label}'), 1, 8)) AS BIGINT) % 41"
+        )
+
+    head = f"""
+        WITH e0 AS (
+            SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+                   'h' || CAST({lane_sql('e1')} AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+                   'h' || CAST({lane_sql('e2')} AS VARCHAR) AS dst
+            FROM documents),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS MATERIALIZED (SELECT DISTINCT host FROM
+                  (SELECT src AS host FROM e
+                   UNION ALL SELECT dst AS host FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT host, (SELECT 1.0 / n FROM nn) AS r FROM nodes)"""
+    iters = []
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        iters.append(f"""
+        r{k} AS MATERIALIZED (
+            SELECT nodes.host,
+                   (1 - {damping}) / nn.n
+                   + {damping} * (coalesce(c.c, 0) + dm.dm / nn.n) AS r
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT e.dst AS host, sum(p.r / deg.deg) AS c
+                       FROM {p} p
+                       JOIN deg ON p.host = deg.src
+                       JOIN e ON e.src = p.host
+                       GROUP BY e.dst) c ON c.host = nodes.host
+            CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS dm
+                        FROM {p} p
+                        LEFT JOIN deg ON p.host = deg.src
+                        WHERE deg.src IS NULL) dm)""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"\n        SELECT host, round(r, 6) AS rank FROM r{n_iter}"
+    )
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus near-dedup (operators/dedup.py
     incremental_neardup): even doc_ids play the already-ingested corpus
@@ -1722,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "host_pagerank": q_host_pagerank,
         "incremental_neardup": q_incremental_neardup,
         "dsir_select": q_dsir_select,
         "repetition_signals": q_repetition_signals,
@@ -1954,6 +2037,7 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "host_pagerank": _host_pagerank_oracle_sql(),
         "incremental_neardup": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                        FROM documents),

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "dsir_select",
     # batch-vs-state LSH dedup: O(batch) against a persisted corpus (r6)
     "incremental_neardup",
+    # host-graph PageRank: 10 checkpointed power iterations (r6)
+    "host_pagerank",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Host-graph PageRank (frontier/hostrank.py) vs a dense numpy power
+iteration — independent implementation, same fixed-iteration semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from commoncrawl_fetcher_lite_spark.frontier.hostrank import host_pagerank
+
+
+def _numpy_pagerank(edges, n_iter=10, d=0.85):
+    edges = sorted(set((s, t) for s, t in edges if s != t))
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {h: round(float(r[idx[h]]), 6) for h in hosts}
+
+
+@pytest.fixture(scope="module")
+def chain_edges():
+    # a ring + a hub + a dangling sink: a→b→c→a, hub→{a,b,c,sink}
+    return [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "sink"),
+    ]
+
+
+def test_pagerank_matches_numpy_reference(spark, chain_edges):
+    df = spark.createDataFrame(chain_edges, "src string, dst string")
+    got = {r["host"]: r["rank"] for r in host_pagerank(df, n_iter=10).collect()}
+    want = _numpy_pagerank(chain_edges, n_iter=10)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=2e-6)
+
+
+def test_pagerank_mass_conserved_and_sink_fed(spark, chain_edges):
+    df = spark.createDataFrame(chain_edges, "src string, dst string")
+    rows = host_pagerank(df, n_iter=10).collect()
+    total = sum(r["rank"] for r in rows)
+    # dangling-mass redistribution keeps ||r||_1 = 1
+    assert total == pytest.approx(1.0, abs=1e-4)
+    ranks = {r["host"]: r["rank"] for r in rows}
+    # the sink receives rank; the hub (no in-links) bottoms out
+    assert ranks["sink"] > ranks["hub"]
+
+
+def test_pagerank_dedupes_edges_and_drops_self_loops(spark):
+    noisy = [("a", "b")] * 5 + [("a", "a"), ("b", "a")]
+    df = spark.createDataFrame(noisy, "src string, dst string")
+    got = {r["host"]: r["rank"] for r in host_pagerank(df, n_iter=5).collect()}
+    want = _numpy_pagerank([("a", "b"), ("b", "a")], n_iter=5)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_pagerank_partitioning_invariant(spark, chain_edges):
+    df = spark.createDataFrame(chain_edges, "src string, dst string")
+    a = {r["host"]: r["rank"] for r in host_pagerank(df, n_iter=6).collect()}
+    b = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(df.repartition(7), n_iter=6).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_rejects_bad_iter(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        host_pagerank(df, n_iter=0)
