@@ -194,6 +194,11 @@ class FrontierConfig:
     # needs a writable catalog + path (checkpoint root) and only pays
     # once state ≫ batch.
     bucketed_state: bool = False
+    # Weight of the link-graph centrality prior: when a `host_rank`
+    # snapshot table exists (frontier/hostrank.py host_pagerank over the
+    # outlink graph), candidate priority becomes
+    # priority + host_rank_weight * rank(host). Inert without the table.
+    host_rank_weight: float = 1.0
 
 
 def _normalize_emit_dict(cfg: dict[str, Any]) -> dict[str, Any] | None:

@@ -67,10 +67,12 @@ def bootstrap(
     seeds: DataFrame,
     robots: DataFrame | None = None,
     blocklist: DataFrame | None = None,
+    host_rank: DataFrame | None = None,
 ) -> int:
     """Snapshot 0: initial frontier = deduped seeds; empty seen set.
-    Optional policy tables (robots rules, domain blocklist) commit with
-    the bootstrap snapshot and carry forward across iterations."""
+    Optional policy tables (robots rules, domain blocklist, host_rank
+    centrality prior) commit with the bootstrap snapshot and carry
+    forward across iterations."""
     spark = store.spark
     frontier = with_url_hash(seeds).dropDuplicates(["url_hash", "url"])
     seen = spark.createDataFrame([], "url_hash long, url string")
@@ -79,6 +81,8 @@ def bootstrap(
         tables["robots"] = robots
     if blocklist is not None:
         tables["blocklist"] = blocklist
+    if host_rank is not None:
+        tables["host_rank"] = host_rank
     return store.commit(tables, metrics={"phase": "bootstrap"})
 
 
@@ -111,6 +115,27 @@ def run_iteration(
         )
 
         candidates = filter_blocked(candidates, store.read("blocklist"))
+
+    # link-graph centrality prior (frontier/hostrank.py): a `host_rank`
+    # snapshot table (host, rank — e.g. host_pagerank over the outlink
+    # graph) raises candidate priority by host_rank_weight * rank, so a
+    # bounded batch prefers link-endorsed hosts. Opt-in by table
+    # presence (the blocklist pattern); host-keyed join is stats-gated
+    # (rank tables are per-HOST — 10^8-9 rows at crawl scale, broadcast
+    # only when stats prove it small). Unranked hosts keep their base
+    # priority (coalesce 0).
+    if store.exists("host_rank"):
+        ranks = store.read("host_rank").select("host", "rank")
+        candidates = (
+            candidates.join(maybe_broadcast(ranks), "host", "left")
+            .withColumn(
+                "priority",
+                F.col("priority")
+                + float(cfg.host_rank_weight)
+                * F.coalesce(F.col("rank"), F.lit(0.0)),
+            )
+            .drop("rank")
+        )
 
     if not cfg.compact_shuffles:
         candidates = filter_unseen(candidates, seen)
@@ -270,6 +295,8 @@ def run_iteration(
     carry = ["robots"] if robots is not None else []
     if store.exists("blocklist"):
         carry.append("blocklist")  # the gate persists across iterations
+    if store.exists("host_rank"):
+        carry.append("host_rank")  # the centrality prior persists too
 
     # backoff state update: only when the fetch reports per-row success
     # (fixture fetchers that return the batch unchanged leave the state

@@ -78,3 +78,67 @@ def test_pagerank_rejects_bad_iter(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         host_pagerank(df, n_iter=0)
+
+
+def test_host_rank_prior_steers_the_scheduler(spark, tmp_path):
+    """A host_rank table committed at bootstrap boosts candidate priority
+    (priority + weight*rank), so under a global budget the link-endorsed
+    host's URLs are scheduled first; without the table the ordering
+    falls back to base priority. The table carries forward across
+    iterations like robots/blocklist."""
+    from commoncrawl_fetcher_lite_spark.config import FrontierConfig
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import (
+        SnapshotStore,
+    )
+    from commoncrawl_fetcher_lite_spark.frontier.scheduler import (
+        bootstrap,
+        run_iteration,
+    )
+    from pyspark.sql import functions as F
+
+    # two hosts, equal base priority; 'ranked.com' gets centrality 0.5
+    seeds = spark.createDataFrame(
+        [
+            (f"https://{h}/p{i}", h, 0.1, 0.0)
+            for h in ("plain.com", "ranked.com")
+            for i in range(4)
+        ],
+        "url string, host string, priority double, recrawl_score double",
+    )
+    ranks = spark.createDataFrame(
+        [("ranked.com", 0.5)], "host string, rank double"
+    )
+    cfg = FrontierConfig(n_salt=2, default_max_per_batch=2, default_burst=2)
+
+    # the committed batch table is deliberately skinny (url_hash, url);
+    # effective_priority — the global crawl-order key the prior exists
+    # to shift — is observed on the batch handed to fetch_fn
+    seen_prios: list[dict] = []
+
+    def capture(batch):
+        seen_prios.append(
+            {
+                r["host"]: r["p"]
+                for r in batch.groupBy("host")
+                .agg(F.max("effective_priority").alias("p"))
+                .collect()
+            }
+        )
+        return batch
+
+    store = SnapshotStore(str(tmp_path / "ranked"), spark)
+    bootstrap(store, seeds, host_rank=ranks)
+    run_iteration(store, cfg, fetch_fn=capture)
+    # both hosts get their per-host quota, but the ranked host's
+    # effective priority carries the +0.5 boost → it leads crawl order
+    assert seen_prios[0]["ranked.com"] == pytest.approx(0.6)
+    assert seen_prios[0]["plain.com"] == pytest.approx(0.1)
+    # the table carried forward: iteration 2 still sees the boost
+    run_iteration(store, cfg, fetch_fn=capture)
+    assert seen_prios[1]["ranked.com"] == pytest.approx(0.6)
+
+    # control: no host_rank table → base priorities only
+    store2 = SnapshotStore(str(tmp_path / "plain"), spark)
+    bootstrap(store2, seeds)
+    run_iteration(store2, cfg, fetch_fn=capture)
+    assert seen_prios[2]["ranked.com"] == pytest.approx(0.1)
