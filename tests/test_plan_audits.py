@@ -407,3 +407,37 @@ def test_pick_n_buckets_sizing():
         assert b & (b - 1) == 0
         assert b >= prev
         prev = b
+
+
+def test_incremental_neardup_corpus_side_is_semi_gated(spark):
+    """incremental_neardup's scale contract: the corpus contributes
+    shingles ONLY for docs matched by the bucket join — the physical
+    plan of the dup output must gate the corpus scan behind a LeftSemi
+    join (point reads), and the batch-vs-state candidate join must be a
+    hash equi-join on the (band_id, band_hash) key pair, never a
+    nested-loop."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bucket_frame,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{i}x"), (F.col("id") % 7).cast("string"))
+              for i in range(12)],
+        ).alias("text"),
+    )
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    state = lsh_bucket_frame(corpus, bands=8, num_perm=32).localCheckpoint(
+        eager=True
+    )
+    dups, _ = incremental_neardup(
+        batch, state, corpus, bands=8, num_perm=32, threshold=0.5
+    )
+    plan = _plan(dups)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "band_hash" in plan  # candidate join keyed on the band pair
