@@ -470,6 +470,59 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change-rate estimation (frontier/recrawl.py
+    estimate_change_rate, Cho & Garcia-Molina 2003): a 4-fetch history
+    per document is derived arithmetically (fetch i at day i·(1 +
+    doc_id mod 7); the digest increments at step i iff an md5 lane mod
+    3 hits — so histories span 0-3 changes at varied intervals), then
+    λ̂ = -ln((n-X+0.5)/(n+0.5))/ΔT̄. Output: (url, n_intervals,
+    n_changes, change_rate)."""
+    from pyspark.sql import Window
+
+    from commoncrawl_fetcher_lite_spark.frontier.recrawl import (
+        estimate_change_rate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    steps = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    )
+    lane = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":chg:"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    chg = ((F.col("i") > 0) & (lane % 3 == 0)).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    fetches = steps.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.date_add(
+            F.lit("2026-01-01").cast("date"),
+            (F.col("i") * (1 + F.col("doc_id") % 7)).cast("int"),
+        ).alias("fetch_ts"),
+        F.concat(F.lit("d"), F.sum(chg).over(w).cast("string")).alias(
+            "digest"
+        ),
+    )
+    return estimate_change_rate(fetches)
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (frontier/hostrank.py): a deterministic
     41-host graph is derived arithmetically from doc_ids (src = doc_id
@@ -1804,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "change_rate": q_change_rate,
         "host_pagerank": q_host_pagerank,
         "incremental_neardup": q_incremental_neardup,
         "dsir_select": q_dsir_select,
@@ -2037,6 +2091,50 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "change_rate": r"""
+            WITH s AS (SELECT doc_id, t.i FROM documents, range(4) t(i)),
+            c AS (SELECT doc_id, i,
+                         CASE WHEN i > 0
+                              AND CAST(('0x' || substr(md5(
+                                  CAST(doc_id AS VARCHAR) || ':chg:'
+                                  || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                                  % 3 = 0
+                              THEN 1 ELSE 0 END AS chg
+                  FROM s),
+            f AS (SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                             || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                         DATE '2026-01-01'
+                             + CAST(i * (1 + doc_id % 7) AS INTEGER)
+                             AS fetch_ts,
+                         'd' || CAST(sum(chg) OVER
+                             (PARTITION BY doc_id ORDER BY i) AS VARCHAR)
+                             AS digest
+                  FROM c),
+            steps AS (SELECT url,
+                             date_diff('day',
+                                 lag(fetch_ts) OVER
+                                     (PARTITION BY url ORDER BY fetch_ts),
+                                 fetch_ts) AS dt,
+                             CASE WHEN digest <> lag(digest) OVER
+                                     (PARTITION BY url ORDER BY fetch_ts)
+                                  THEN 1 ELSE 0 END AS chg
+                      FROM f),
+            agg AS (SELECT url,
+                           count(dt) AS n_intervals,
+                           CAST(coalesce(sum(CASE WHEN dt IS NOT NULL
+                                                  THEN chg END), 0)
+                                AS BIGINT) AS n_changes,
+                           avg(CAST(dt AS DOUBLE)) AS adt
+                    FROM steps GROUP BY url)
+            SELECT url, n_intervals, n_changes,
+                   CASE WHEN n_intervals < 1 THEN 0.1
+                        ELSE round(least(greatest(
+                            -ln((n_intervals - n_changes + 0.5)
+                                / (n_intervals + 0.5))
+                            / greatest(adt, 1e-6), 0.0), 10.0), 6)
+                   END AS change_rate
+            FROM agg
+        """,
         "host_pagerank": _host_pagerank_oracle_sql(),
         "incremental_neardup": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

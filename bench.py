@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "incremental_neardup",
     # host-graph PageRank: 10 checkpointed power iterations (r6)
     "host_pagerank",
+    # Cho-Garcia-Molina change-rate estimator from fetch history (r6)
+    "change_rate",
 ]
 
 

@@ -46,3 +46,76 @@ def with_recrawl_priority(
         "effective_priority",
         F.round(F.coalesce(F.col(base_priority_col), F.lit(0.0)) + F.col("recrawl_score"), 6),
     )
+
+
+def estimate_change_rate(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "digest",
+    default_rate: float = 0.1,
+    max_rate: float = 10.0,
+) -> DataFrame:
+    """Close the recrawl feedback loop: estimate each URL's change rate λ
+    from its own fetch history, instead of the global default the Poisson
+    score otherwise runs on.
+
+    Estimator (Cho & Garcia-Molina 2003, "Estimating frequency of
+    change" — the bias-corrected MAP form):
+
+        λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / ΔT̄   changes/day
+
+    where n = consecutive-fetch intervals, X = intervals whose content
+    digest changed, ΔT̄ = mean interval length in days (datediff — day
+    granularity, the recrawl model's unit). Sampling a Poisson process
+    only reveals CHANGED/UNCHANGED per interval, so X/n alone
+    underestimates fast-changing pages (two changes in one interval
+    count once); the -ln correction inverts that censoring, and the
+    +0.5 terms keep X = n (every fetch changed) finite.
+
+    Output: (url, n_intervals, n_changes, change_rate[round 6]).
+    URLs with < 2 fetches carry `default_rate`; estimates clamp to
+    [0, max_rate] (tiny mean intervals explode the division).
+
+    Scale shape: ONE shuffle on url for the lag window — a window
+    group is one URL's fetch history (bounded by crawl frequency, ≤
+    hundreds of rows even for daily fetches over years; never
+    corpus-sized) — then the groupBy(url) aggregate reuses the same
+    partitioning (exchange reuse, no second shuffle). The output is
+    per-URL and joins the frontier on its key. Feed the result's
+    change_rate straight into recrawl_score(..., change_rate_per_day=
+    F.col("change_rate")) — it already accepts a per-row Column.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("_ts").asc())
+    steps = fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(digest_col).alias("_dg"),
+    ).select(
+        "url",
+        F.datediff(F.col("_ts"), F.lag("_ts").over(w))
+        .cast("double")
+        .alias("_dt"),
+        (F.col("_dg") != F.lag("_dg").over(w)).cast("int").alias("_chg"),
+    )
+    agg = steps.groupBy("url").agg(
+        F.count("_dt").alias("n_intervals"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).cast("long").alias("n_changes"),
+        F.avg("_dt").alias("_avg_dt"),
+    )
+    lam = -F.log(
+        (F.col("n_intervals") - F.col("n_changes") + 0.5)
+        / (F.col("n_intervals") + 0.5)
+    ) / F.greatest(F.col("_avg_dt"), F.lit(1e-6))
+    return agg.select(
+        "url",
+        "n_intervals",
+        "n_changes",
+        F.when(F.col("n_intervals") < 1, F.lit(float(default_rate)))
+        .otherwise(
+            F.round(F.least(F.greatest(lam, F.lit(0.0)), F.lit(float(max_rate))), 6)
+        )
+        .alias("change_rate"),
+    )

@@ -1063,3 +1063,61 @@ def test_blocklist_wired_into_scheduler(spark, tmp_path):
     assert res2.n_scheduled == 0
     assert store.exists("blocklist")
     assert store.read("frontier").count() == 2
+
+
+def test_estimate_change_rate_cho_garcia_molina(spark):
+    """λ̂ = -ln((n-X+0.5)/(n+0.5))/ΔT̄ against hand-computed values:
+    a static page, a sometimes-changing page, an always-changing page
+    (finite via the +0.5 correction), and a single-fetch page falling
+    back to the default."""
+    import math
+
+    from commoncrawl_fetcher_lite_spark.frontier.recrawl import (
+        estimate_change_rate,
+    )
+
+    rows = []
+    # static: 4 fetches, 2-day spacing, digest never changes
+    for i in range(4):
+        rows.append(("static", f"2026-01-0{1 + 2 * i}", "d0"))
+    # flaky: changes on the 2nd of 3 intervals, 5-day spacing
+    for i, dg in enumerate(["a", "a", "b", "b"]):
+        rows.append(("flaky", f"2026-01-{1 + 5 * i:02d}", dg))
+    # churn: every interval changes, 1-day spacing
+    for i in range(4):
+        rows.append(("churn", f"2026-01-0{1 + i}", f"d{i}"))
+    rows.append(("lone", "2026-01-01", "x"))
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts string, digest string"
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("date"))
+    got = {
+        r["url"]: (r["n_intervals"], r["n_changes"], r["change_rate"])
+        for r in estimate_change_rate(df, default_rate=0.25).collect()
+    }
+    assert got["static"] == (3, 0, round(-math.log(3.5 / 3.5) / 2.0, 6))
+    assert got["flaky"] == (3, 1, round(-math.log(2.5 / 3.5) / 5.0, 6))
+    assert got["churn"] == (3, 3, round(-math.log(0.5 / 3.5) / 1.0, 6))
+    assert got["lone"] == (0, 0, 0.25)
+    # estimator ordering: more observed change => higher rate
+    assert got["churn"][2] > got["flaky"][2] > got["static"][2]
+
+
+def test_estimate_change_rate_single_shuffle(spark):
+    """The lag window and the per-url aggregate share the url
+    partitioning — the plan must contain exactly ONE url-keyed
+    Exchange (exchange reuse, no second shuffle)."""
+    from commoncrawl_fetcher_lite_spark.frontier.recrawl import (
+        estimate_change_rate,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "2026-01-01", "a"), ("u", "2026-01-02", "b")],
+        "url string, fetch_ts string, digest string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("date"))
+    out = estimate_change_rate(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted plans list each node once as "(k) Exchange"
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, plan
