@@ -325,9 +325,20 @@ def incremental_neardup(
         )
     ]
     if state_buckets is not None:
+        from commoncrawl_fetcher_lite_spark.functions.joins import (
+            maybe_broadcast,
+        )
+
+        # the batch bucket frame is the SMALL side of the state join by
+        # construction (a day's crawl vs the whole corpus) — when stats
+        # prove it under the broadcast threshold, the state side streams
+        # map-side with ZERO state shuffle, making the probe O(state
+        # scan) not O(state shuffle). Giant batches stay stats-gated to
+        # a shuffle join (the checkpointed frame reports row-based
+        # stats, so the gate is accurate).
         s = state_buckets.alias("s")
         cand_state = (
-            a.join(
+            maybe_broadcast(a).join(
                 s,
                 (F.col("a.band_id") == F.col("s.band_id"))
                 & (F.col("a.band_hash") == F.col("s.band_hash")),
