@@ -470,6 +470,35 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style block classification (operators/html.py
+    boilerplate_blocks): every document is wrapped as a page with a
+    link-heavy nav, its prose in a <p>, a short heading, and a
+    link-farm footer — so each verdict class ('short', 'nav', 'good'/
+    'low_stop') appears for every doc. The oracle mirrors the block
+    split, the anchor-text scan, the tag/entity/whitespace clean, and
+    the density thresholds in SQL. Output: one row per block
+    (doc_id, block_no, n_words, link_density, stop_density, verdict,
+    text)."""
+    from commoncrawl_fetcher_lite_spark.operators.html import (
+        boilerplate_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div class="nav"><a href="/">Home</a> '),
+        F.lit('<a href="/about">About our site</a></div><p>'),
+        F.col("text"),
+        F.lit("</p><h2>Doc "),
+        d,
+        F.lit('</h2><div><a href="/p1">first link</a> '),
+        F.lit('<a href="/p2">second link</a> '),
+        F.lit('<a href="/p3">third link here</a></div></body></html>'),
+    )
+    return boilerplate_blocks(docs.select("doc_id", html.alias("html")))
+
+
 def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-URL change-rate estimation (frontier/recrawl.py
     estimate_change_rate, Cho & Garcia-Molina 2003): a 4-fetch history
@@ -1857,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "boilerplate": q_boilerplate,
         "change_rate": q_change_rate,
         "host_pagerank": q_host_pagerank,
         "incremental_neardup": q_incremental_neardup,
@@ -2091,6 +2121,76 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "boilerplate": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><body><div class="nav"><a href="/">Home</a> '
+                       || '<a href="/about">About our site</a></div><p>'
+                       || text || '</p><h2>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</h2><div><a href="/p1">first link</a> '
+                       || '<a href="/p2">second link</a> '
+                       || '<a href="/p3">third link here</a></div></body></html>'
+                           AS html
+                FROM documents),
+            arrs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(html,
+                           '(?is)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th'
+                           || '|tr|table|section|article|header|footer|nav'
+                           || '|aside|blockquote|pre|br|hr|form)\b[^>]*>')
+                           AS arr
+                FROM h),
+            blocks AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(arr) + 1),
+                           i -> {'block_no': i - 1, 'raw': arr[i]})) AS b
+                FROM arrs),
+            sig AS (
+                SELECT doc_id, CAST(b.block_no AS INT) AS block_no,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(regexp_replace(regexp_replace(
+                                   regexp_replace(regexp_replace(b.raw,
+                                       '(?s)<!--.*?-->', ' ', 'g'),
+                                       '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+                                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                                       '(?s)<[^>]*>', ' ', 'g'),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                           '\s+', ' ', 'g')) AS text,
+                       coalesce(list_sum(list_transform(
+                           regexp_extract_all(b.raw,
+                               '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                           x -> len(trim(regexp_replace(regexp_replace(x,
+                               '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))),
+                           0) AS link_chars
+                FROM blocks),
+            toks AS (
+                SELECT doc_id, block_no, text, link_chars,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS w
+                FROM sig),
+            scored AS (
+                SELECT doc_id, block_no,
+                       CAST(len(w) AS INT) AS n_words,
+                       round(link_chars
+                             / CAST(greatest(len(text), 1) AS DOUBLE), 6)
+                           AS link_density,
+                       round(len(list_filter(w, x -> lower(x) IN
+                                 ('the', 'a', 'and', 'of', 'to')))
+                             / CAST(greatest(len(w), 1) AS DOUBLE), 6)
+                           AS stop_density,
+                       text
+                FROM toks)
+            SELECT doc_id, block_no, n_words, link_density, stop_density,
+                   CASE WHEN n_words < 5 THEN 'short'
+                        WHEN link_density > 0.33 THEN 'nav'
+                        WHEN stop_density >= 0.25 THEN 'good'
+                        ELSE 'low_stop' END AS verdict,
+                   text
+            FROM scored
+        """,
         "change_rate": r"""
             WITH s AS (SELECT doc_id, t.i FROM documents, range(4) t(i)),
             c AS (SELECT doc_id, i,

@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "host_pagerank",
     # Cho-Garcia-Molina change-rate estimator from fetch history (r6)
     "change_rate",
+    # jusText-lite block classification: map-only regexp/HOF chain (r6)
+    "boilerplate",
 ]
 
 

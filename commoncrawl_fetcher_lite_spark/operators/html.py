@@ -193,3 +193,147 @@ def extract_links(
             F.explode(F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))).alias("url"),
         )
     )
+
+
+# jusText-style block classification (Pomikálek 2011: boilerplate removal
+# by block-level link density + stopword density). Context-free variant:
+# the original's near-good neighbour promotion needs a second pass over
+# adjacent blocks; this ships the per-block core signals, which is what
+# CC-scale pipelines (OSCAR/CCNet lineage) gate on first.
+_RE_BLOCK_SPLIT = (
+    r"(?is)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|section"
+    r"|article|header|footer|nav|aside|blockquote|pre|br|hr|form)\b[^>]*>"
+)
+_RE_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def boilerplate_blocks(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+    min_stop_density: float = 0.25,
+) -> DataFrame:
+    """Split each HTML document at block-level tag boundaries and classify
+    every block:
+
+      * 'short' — fewer than `min_words` words (headers, buttons, crumbs);
+      * 'nav'   — link_density (anchor-text chars / text chars) above
+                  `max_link_density`: menus, footers, link farms;
+      * 'good'  — enough words AND stopword density >= `min_stop_density`
+                  (full sentences of function words — jusText's signal
+                  that text is prose, not keyword soup);
+      * 'low_stop' — long and link-light but stopword-poor (tag clouds,
+                  code, tables of numbers); kept separate so callers can
+                  choose (CCNet keeps, strict Gopher-style drops).
+
+    Output: (doc_id, block_no, n_words, link_density, stop_density,
+    verdict, text) — block_no preserves document order for reassembly.
+
+    Scale shape: ONE posexplode over the split array (map-only scan
+    work); every per-block signal is a Catalyst regexp/HOF chain inside
+    whole-stage codegen — no Python, no shuffle at all. The raw block is
+    let-bound so the anchor scan and the text clean read one
+    materialized value, and the cleaned text is let-bound again for the
+    three consumers (length, tokens, stop count)."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+    from commoncrawl_fetcher_lite_spark.operators.text import (
+        STOPWORDS,
+        tokens_nonempty,
+    )
+
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(html_col), _RE_BLOCK_SPLIT)).alias(
+            "block_no", "_raw"
+        ),
+    )
+
+    def _block_cols(raw):
+        link_chars = F.aggregate(
+            F.regexp_extract_all(raw, F.lit(_RE_ANCHOR), 1),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.length(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(x, _RE_TAG, " "), _RE_WS, " "
+                    )
+                )
+            ),
+        )
+        return let(
+            html_to_text(raw),
+            lambda text: let(
+                tokens_nonempty(text),
+                lambda toks: F.struct(
+                    F.size(toks).alias("n_words"),
+                    F.round(
+                        link_chars
+                        / F.greatest(F.length(text), F.lit(1)).cast("double"),
+                        6,
+                    ).alias("link_density"),
+                    F.round(
+                        F.size(
+                            F.filter(
+                                toks,
+                                lambda w: F.lower(w).isin(*STOPWORDS),
+                            )
+                        )
+                        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+                        6,
+                    ).alias("stop_density"),
+                    text.alias("text"),
+                ),
+            ),
+        )
+
+    out = exploded.select(
+        "doc_id", "block_no", _block_cols(F.col("_raw")).alias("_b")
+    ).select("doc_id", "block_no", "_b.*")
+    verdict = (
+        F.when(F.col("n_words") < min_words, F.lit("short"))
+        .when(F.col("link_density") > max_link_density, F.lit("nav"))
+        .when(F.col("stop_density") >= min_stop_density, F.lit("good"))
+        .otherwise(F.lit("low_stop"))
+    )
+    return out.withColumn("verdict", verdict)
+
+
+def extract_main_text(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = ("good",),
+    **kwargs,
+) -> DataFrame:
+    """Reassemble each document from its kept blocks, in block order:
+    (doc_id, main_text, n_blocks_kept). One groupBy(doc_id) over the
+    map-only block frame — collect the (block_no, text) pairs, sort the
+    bounded per-doc array, join. Documents whose every block is
+    boilerplate still appear (main_text '')."""
+    blocks = boilerplate_blocks(docs, html_col, id_col, **kwargs)
+    kept = F.when(F.col("verdict").isin(*keep), 1).otherwise(0)
+    return (
+        blocks.withColumn("_keep", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_keep").cast("int").alias("n_blocks_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_keep") == 1,
+                        F.struct(F.col("block_no"), F.col("text")),
+                    )
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda s: s["text"])
+            ).alias("main_text"),
+            "n_blocks_kept",
+        )
+    )

@@ -235,3 +235,78 @@ def test_link_discovery_feeds_frontier(spark, tmp_path):
     # next iteration schedules the discovered urls (no fetch this time)
     res = scheduler.run_iteration(store, cfg, batch_seconds=1.0)
     assert res.n_scheduled == 3
+
+
+def test_boilerplate_blocks_verdicts(spark):
+    """jusText-lite semantics on a crafted page: nav blocks flagged by
+    link density, prose by stopword density, keyword soup 'low_stop',
+    stubs 'short'; block_no preserves document order."""
+    from commoncrawl_fetcher_lite_spark.operators.html import (
+        boilerplate_blocks,
+    )
+
+    html = (
+        '<html><body><div class="nav"><a href="/">Home</a> '
+        '<a href="/x">About the whole site</a></div>'
+        "<p>The quick brown fox and the lazy dog ran off to the hills "
+        "of the north.</p>"
+        "<h2>Menu</h2>"
+        "<p>alpha beta gamma delta epsilon zeta eta theta</p>"
+        '<div><a href="/a">one</a><a href="/b">two</a>'
+        '<a href="/c">three links here</a></div></body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = {
+        r["block_no"]: r for r in boilerplate_blocks(df).collect()
+    }
+    nonempty = {
+        k: v for k, v in rows.items() if v["n_words"] > 0
+    }
+    verdicts = [nonempty[k]["verdict"] for k in sorted(nonempty)]
+    assert verdicts == ["nav", "good", "short", "low_stop", "nav"]
+    nav = nonempty[min(nonempty)]
+    assert nav["link_density"] > 0.9  # whole block is anchor text
+    good = [v for v in nonempty.values() if v["verdict"] == "good"][0]
+    assert good["stop_density"] >= 0.25 and good["link_density"] == 0.0
+
+
+def test_extract_main_text_keeps_prose_in_order(spark):
+    from commoncrawl_fetcher_lite_spark.operators.html import (
+        extract_main_text,
+    )
+
+    html = (
+        "<p>The first of the good parts is right here in the text.</p>"
+        '<div><a href="/">pure nav link block</a></div>'
+        "<p>And the second of the good parts follows it to the end.</p>"
+    )
+    df = spark.createDataFrame(
+        [(7, html), (8, '<div><a href="/">only nav on this page</a></div>')],
+        "doc_id long, html string",
+    )
+    got = {
+        r["doc_id"]: (r["main_text"], r["n_blocks_kept"])
+        for r in extract_main_text(df).collect()
+    }
+    assert got[7] == (
+        "The first of the good parts is right here in the text. "
+        "And the second of the good parts follows it to the end.",
+        2,
+    )
+    assert got[8] == ("", 0)  # all-boilerplate docs still appear
+
+
+def test_boilerplate_blocks_map_only(spark):
+    """The block classifier is scan-side: zero Exchange in its plan."""
+    from commoncrawl_fetcher_lite_spark.operators.html import (
+        boilerplate_blocks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>a</p>")], "doc_id long, html string"
+    )
+    out = boilerplate_blocks(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert ") Exchange" not in plan
