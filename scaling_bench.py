@@ -394,6 +394,39 @@ def workload_kernel(spark) -> float:
     return time.perf_counter() - t0
 
 
+N_PR_EDGES = int(os.environ.get("SCALING_PR_EDGES", "4000000"))
+N_PR_HOSTS = int(os.environ.get("SCALING_PR_HOSTS", "100000"))
+N_PR_ITER = int(os.environ.get("SCALING_PR_ITER", "10"))
+
+
+def workload_pagerank(spark) -> float:
+    """W5: host-graph PageRank over a synthetic N_PR_EDGES-edge /
+    N_PR_HOSTS-host graph — the ITERATIVE-JOIN shape (N_PR_ITER chained
+    shuffle+checkpoint rounds) that no other workload exercises: each
+    iteration is one edge-keyed shuffle with map-side combine plus a
+    broadcast scalar, fused by an eager localCheckpoint. Edges are
+    synthesized in-plan (deterministic xxhash64 endpoints); host_pagerank
+    dedupes + checkpoints them once, so only the iteration cost repeats."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_fetcher_lite_spark.frontier.hostrank import host_pagerank
+
+    edges = spark.range(N_PR_EDGES).select(
+        F.concat(
+            F.lit("h"), (F.col("id") % N_PR_HOSTS).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(N_PR_HOSTS)).cast("string"),
+        ).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    host_pagerank(edges, n_iter=N_PR_ITER).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def _loadavg() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
@@ -446,6 +479,7 @@ def run_level(cpus: int) -> dict:
     t_kernel = _time("kernel", workload_kernel)
     t_tfidf = _time("tfidf", workload_tfidf)
     t_chunk = _time("chunk", workload_chunk)
+    t_pagerank = _time("pagerank", workload_pagerank)
     out = {
         "cpus": cpus,
         "frontier_sec": _sec(t_frontier),
@@ -464,6 +498,8 @@ def run_level(cpus: int) -> dict:
         "tfidf_docs_per_sec": _rate(N_DOCS, t_tfidf),
         "chunk_sec": _sec(t_chunk),
         "chunk_docs_per_sec": _rate(N_DOCS, t_chunk),
+        "pagerank_sec": _sec(t_pagerank),
+        "pagerank_edges_per_sec": _rate(N_PR_EDGES * N_PR_ITER, t_pagerank),
         "loadavg_samples": loads,
     }
     spark.stop()
@@ -551,6 +587,7 @@ def main() -> None:
             "eff_kernel": _eff("kernel_docs_per_sec"),
             "eff_tfidf": _eff("tfidf_docs_per_sec"),
             "eff_chunk": _eff("chunk_docs_per_sec"),
+            "eff_pagerank": _eff("pagerank_edges_per_sec"),
             "level_n": res_n,
             "level_n4": res_n4,
         }
@@ -576,6 +613,7 @@ def main() -> None:
     eff_kernel = _median([p.get("eff_kernel", 0.0) for p in use])
     eff_tfidf = _median([p.get("eff_tfidf", 0.0) for p in use])
     eff_chunk = _median([p.get("eff_chunk", 0.0) for p in use])
+    eff_pagerank = _median([p.get("eff_pagerank", 0.0) for p in use])
 
     # leg-median efficiency: median rate per LEG first, then the ratio —
     # robust to a single contended leg poisoning its pair (a pair ratio
@@ -597,6 +635,7 @@ def main() -> None:
         "efficiency_kernel": round(eff_kernel, 3),
         "efficiency_tfidf": round(eff_tfidf, 3),
         "efficiency_chunk": round(eff_chunk, 3),
+        "efficiency_pagerank": round(eff_pagerank, 3),
         "efficiency_frontier_legmedian": _leg_eff("frontier_urls_per_sec"),
         "efficiency_diet_legmedian": _leg_eff("diet_urls_per_sec"),
         "efficiency_cdx_legmedian": _leg_eff("cdx_lines_per_sec"),
@@ -605,6 +644,7 @@ def main() -> None:
         "efficiency_kernel_legmedian": _leg_eff("kernel_docs_per_sec"),
         "efficiency_tfidf_legmedian": _leg_eff("tfidf_docs_per_sec"),
         "efficiency_chunk_legmedian": _leg_eff("chunk_docs_per_sec"),
+        "efficiency_pagerank_legmedian": _leg_eff("pagerank_edges_per_sec"),
         "efficiency_frontier_all": [p["eff_frontier"] for p in pairs],
         "efficiency_diet_all": [p.get("eff_diet") for p in pairs],
         "efficiency_cdx_all": [p["eff_cdx"] for p in pairs],
