@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
+
 
 def host_pagerank(
     edges: DataFrame,
@@ -73,11 +75,22 @@ def host_pagerank(
     d = float(damping)
     ranks = nodes.select("host", F.lit(1.0 / n).alias("r"))
     for _ in range(n_iter):
-        outflow = ranks.join(deg, ranks["host"] == deg["src"]).select(
-            F.col("host"), (F.col("r") / F.col("deg")).alias("share")
+        # rank state is ONE ROW PER HOST — orders of magnitude smaller
+        # than the edge list. Joining it edge-side via a stats-gated
+        # broadcast means the STATIC edge frame is never shuffled: the
+        # per-edge share flows map-side, and the dst groupBy's partial
+        # aggregation collapses each task's output to <= n_hosts rows
+        # before the only exchange of the iteration. (Measured: the
+        # r6 first-cut shuffled all edges per iteration and scaled at
+        # 0.48-0.57; see BENCH/BASELINE.md W5.) At 10^9 hosts the gate
+        # declines the hint and the join falls back to shuffle.
+        outflow = maybe_broadcast(
+            ranks.join(deg, ranks["host"] == deg["src"]).select(
+                F.col("host"), (F.col("r") / F.col("deg")).alias("share")
+            )
         )
         contrib = (
-            outflow.join(e, outflow["host"] == e["src"])
+            e.join(outflow, e["src"] == outflow["host"])
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
