@@ -1887,6 +1887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
         "boilerplate": q_boilerplate,
+        # duplicate_spans re-ranked into the driver window: its df-gate
+        # was reworked in r6 (groupBy+semi-join) and needs driver-signed
+        # re-verification
+        "duplicate_spans": q_duplicate_spans,
         "change_rate": q_change_rate,
         "host_pagerank": q_host_pagerank,
         "incremental_neardup": q_incremental_neardup,
@@ -1938,7 +1942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "bpe_token_count": q_bpe_token_count,
-        "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
         "shard_manifest": q_shard_manifest,
         "line_dedup": q_line_dedup,
