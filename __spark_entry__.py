@@ -1134,6 +1134,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3, min_overlap=1)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination (operators/dedup.py contamination_report):
+    every 50th document plays the benchmark; report each doc's distinct
+    3-gram count, benchmark-overlap count, and overlap FRACTION — the
+    quantity thresholded drop policies are written in. Output:
+    (doc_id, n_shingles, n_overlap, overlap_frac)."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_report(docs, bench, n=3)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style md5 fingerprints per document."""
     from commoncrawl_fetcher_lite_spark.operators.text import fingerprints
@@ -1886,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "contamination_report": q_contamination_report,
         "boilerplate": q_boilerplate,
         # duplicate_spans re-ranked into the driver window: its df-gate
         # was reworked in r6 (groupBy+semi-join) and needs driver-signed
@@ -2124,6 +2140,28 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "contamination_report": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                   FROM t WHERE len(w) >= 3),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            per AS (SELECT sh.doc_id,
+                           count(DISTINCT sh.s) AS n_shingles,
+                           count(DISTINCT CASE WHEN bench.s IS NOT NULL
+                                               THEN sh.s END) AS n_overlap
+                    FROM sh LEFT JOIN bench ON sh.s = bench.s
+                    GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   round(coalesce(per.n_overlap, 0)
+                         / CAST(greatest(coalesce(per.n_shingles, 0), 1)
+                                AS DOUBLE), 6) AS overlap_frac
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
         "boilerplate": r"""
             WITH h AS (
                 SELECT doc_id,

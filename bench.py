@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "change_rate",
     # jusText-lite block classification: map-only regexp/HOF chain (r6)
     "boilerplate",
+    # graded benchmark-overlap fractions (r6)
+    "contamination_report",
 ]
 
 

@@ -594,6 +594,61 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """decontaminate's graded sibling: instead of a binary ≥min_overlap
+    flag, report the FRACTION of each document's distinct n-grams that
+    appear in the benchmark — the form thresholded policies are written
+    in (e.g. PaLM/Llama-style "drop if ≥70% of 8-grams overlap a test
+    set", vs GPT-3's any-13-gram rule, both expressible downstream).
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_frac[round 6]).
+    Documents too short to shingle report n_shingles = 0, frac 0.0.
+
+    Plan shape: identical to decontaminate — benchmark shingles
+    broadcast, corpus side semi-joined in-map — plus one distinct-count
+    of the doc's own shingles computed in the SAME groupBy (no extra
+    shuffle: both aggregates key on the doc id)."""
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("sh"),
+    )
+    marked = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "sh", "left"
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.countDistinct("sh").alias("n_shingles"),
+        F.countDistinct(
+            F.when(F.col("_hit").isNotNull(), F.col("sh"))
+        ).alias("n_overlap"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.greatest(
+                    F.coalesce(F.col("n_shingles"), F.lit(0)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -583,3 +583,32 @@ def test_incremental_neardup_requires_corpus_docs_with_state(
     state = lsh_bucket_frame(corpus)
     with pytest.raises(ValueError, match="corpus_docs"):
         incremental_neardup(neardup_docs, state, None)
+
+
+def test_contamination_report_fractions(spark):
+    """Graded overlap: a doc equal to the benchmark reports frac 1.0, a
+    half-overlapping doc ~0.5, a disjoint doc 0.0, and a too-short doc
+    reports n_shingles 0 / frac 0.0."""
+    from commoncrawl_fetcher_lite_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                       # exact copy
+            (2, "alpha beta gamma delta nope more words here"),  # partial
+            (3, "totally different content in every way"),       # clean
+            (4, "tiny doc"),                                     # no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["overlap_frac"])
+        for r in contamination_report(docs, bench).collect()
+    }
+    assert got[1] == (4, 4, 1.0)
+    assert got[2][1] == 2 and 0 < got[2][2] < 1  # 'alpha beta gamma', 'beta gamma delta'
+    assert got[3] == (4, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
