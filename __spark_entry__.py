@@ -1134,6 +1134,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3, min_overlap=1)
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing → recrawl-rate priors (frontier/robots.py
+    parse_sitemap): each even host gets a 3-entry sitemap cycling
+    through changefreq values (daily / weekly / an unknown value hitting
+    the default) with optional lastmod/priority fields; odd hosts get a
+    sitemap INDEX (zero <url> rows by design). Output: (sitemap_url,
+    entry_no, loc, lastmod, changefreq, priority, change_rate_prior)."""
+    from commoncrawl_fetcher_lite_spark.frontier.robots import parse_sitemap
+
+    hosts = _seeds_view(spark, sf_dir).select("host").distinct()
+    idx = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    h = F.col("host")
+    xml = F.when(
+        idx % 2 == 0,
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset xmlns="x"><url><loc> https://'),
+            h,
+            F.lit("/a </loc><lastmod>2026-01-02</lastmod>"),
+            F.lit("<changefreq>Daily</changefreq><priority>0.8</priority>"),
+            F.lit("</url><url><loc>https://"),
+            h,
+            F.lit("/b</loc><changefreq>weekly</changefreq></url>"),
+            F.lit("<url><loc>https://"),
+            h,
+            F.lit("/c</loc><changefreq>sometimes</changefreq></url></urlset>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            h,
+            F.lit("/more.xml</loc></sitemap></sitemapindex>"),
+        )
+    )
+    bodies = hosts.select(
+        F.concat(F.lit("https://"), h, F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        xml.alias("xml"),
+    )
+    return parse_sitemap(bodies)
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded contamination (operators/dedup.py contamination_report):
     every 50th document plays the benchmark; report each doc's distinct
@@ -1901,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by pytest regardless — sit at the back (VERDICT r5 #2).
     return {
         # --- round-5/6 rows: newest first, inside the driver window ---
+        "sitemap_entries": q_sitemap_entries,
         "contamination_report": q_contamination_report,
         "boilerplate": q_boilerplate,
         # duplicate_spans re-ranked into the driver window: its df-gate
@@ -2140,6 +2183,65 @@ def _repetition_oracle_sql(
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "sitemap_entries": r"""
+            WITH hosts AS (
+                SELECT DISTINCT 'host' || (user_id % 20) || '.example.com'
+                           AS host,
+                       CAST(user_id % 20 AS INT) AS idx
+                FROM events),
+            bodies AS (
+                SELECT 'https://' || host || '/sitemap.xml' AS sitemap_url,
+                       CASE WHEN idx % 2 = 0 THEN
+                           '<?xml version="1.0"?><urlset xmlns="x">'
+                           || '<url><loc> https://' || host || '/a </loc>'
+                           || '<lastmod>2026-01-02</lastmod>'
+                           || '<changefreq>Daily</changefreq>'
+                           || '<priority>0.8</priority></url>'
+                           || '<url><loc>https://' || host || '/b</loc>'
+                           || '<changefreq>weekly</changefreq></url>'
+                           || '<url><loc>https://' || host || '/c</loc>'
+                           || '<changefreq>sometimes</changefreq></url></urlset>'
+                       ELSE '<sitemapindex><sitemap><loc>https://' || host
+                           || '/more.xml</loc></sitemap></sitemapindex>'
+                       END AS xml
+                FROM hosts),
+            blocks AS (
+                SELECT sitemap_url,
+                       regexp_extract_all(xml,
+                           '(?is)<url\b[^>]*>(.*?)</url>', 1) AS arr
+                FROM bodies),
+            entries AS (
+                SELECT sitemap_url,
+                       unnest(list_transform(range(1, len(arr) + 1),
+                           i -> {'entry_no': i - 1, 'b': arr[i]})) AS e
+                FROM blocks),
+            fields AS (
+                SELECT sitemap_url,
+                       CAST(e.entry_no AS INT) AS entry_no,
+                       regexp_extract(e.b,
+                           '(?is)<loc\b[^>]*>\s*(.*?)\s*</loc>', 1) AS loc,
+                       regexp_extract(e.b,
+                           '(?is)<lastmod\b[^>]*>\s*(.*?)\s*</lastmod>', 1)
+                           AS lastmod,
+                       lower(regexp_extract(e.b,
+                           '(?is)<changefreq\b[^>]*>\s*(.*?)\s*</changefreq>',
+                           1)) AS changefreq,
+                       regexp_extract(e.b,
+                           '(?is)<priority\b[^>]*>\s*(.*?)\s*</priority>', 1)
+                           AS priority
+                FROM entries)
+            SELECT sitemap_url, entry_no, loc, lastmod, changefreq, priority,
+                   round(CASE changefreq
+                         WHEN 'always' THEN 48.0
+                         WHEN 'hourly' THEN 24.0
+                         WHEN 'daily' THEN 1.0
+                         WHEN 'weekly' THEN 1.0 / 7.0
+                         WHEN 'monthly' THEN 1.0 / 30.0
+                         WHEN 'yearly' THEN 1.0 / 365.0
+                         WHEN 'never' THEN 0.0
+                         ELSE 0.1 END, 6) AS change_rate_prior
+            FROM fields WHERE loc <> ''
+        """,
         "contamination_report": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                        FROM documents),

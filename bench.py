@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "boilerplate",
     # graded benchmark-overlap fractions (r6)
     "contamination_report",
+    # sitemap XML -> per-URL recrawl-rate priors (r6)
+    "sitemap_entries",
 ]
 
 

@@ -232,3 +232,79 @@ def sitemap_urls(
         bodies.select(F.col(host_col), F.explode(urls).alias("sitemap_url"))
         .where(F.col("sitemap_url").rlike("^https?://"))
     )
+
+
+# sitemaps.org <changefreq> → changes/day prior for the Poisson recrawl
+# model (recrawl.py). The spec defines the vocabulary but not numbers;
+# this is the natural days-based mapping, with 'always' above hourly and
+# 'never' exactly 0 (recrawl_score then pins the page's score at 0 until
+# an observed change — estimate_change_rate — overrides the prior).
+CHANGEFREQ_RATES = {
+    "always": 48.0,
+    "hourly": 24.0,
+    "daily": 1.0,
+    "weekly": 1.0 / 7.0,
+    "monthly": 1.0 / 30.0,
+    "yearly": 1.0 / 365.0,
+    "never": 0.0,
+}
+
+
+def parse_sitemap(
+    bodies: "DataFrame",
+    url_col: str = "sitemap_url",
+    body_col: str = "xml",
+    default_rate: float = 0.1,
+) -> "DataFrame":
+    """Parse fetched sitemap XML bodies into per-URL crawl hints:
+    (sitemap_url, loc, lastmod, changefreq, priority, change_rate_prior)
+    — one row per <url> entry; `change_rate_prior` maps <changefreq>
+    through CHANGEFREQ_RATES (missing/unknown → `default_rate`) so the
+    output joins the frontier as the rate column recrawl_score consumes
+    BEFORE any fetch history exists (estimate_change_rate replaces the
+    prior once the crawler has observed the page twice).
+
+    Pure Catalyst: one regexp_extract_all for the <url> blocks
+    (posexplode keeps sitemap order), one anchored regexp_extract per
+    field inside the let-bound block — map-only, whole-stage codegen,
+    same RE2-compatible dialect as the html operators. Tolerates
+    attribute-bearing tags, whitespace, and missing optional fields
+    (empty string → null-ish defaults). Sitemap INDEX files (<sitemapindex>)
+    yield zero <url> rows by construction — feed their <loc>s back
+    through the fetch loop."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+
+    blocks = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?is)<url\b[^>]*>(.*?)</url>"), 1
+    )
+
+    def field(b, tag):
+        return F.regexp_extract(
+            b, rf"(?is)<{tag}\b[^>]*>\s*(.*?)\s*</{tag}>", 1
+        )
+
+    rate = F.lit(float(default_rate))
+    for name, r in sorted(CHANGEFREQ_RATES.items()):
+        rate = F.when(F.col("changefreq") == name, F.lit(r)).otherwise(rate)
+    return (
+        bodies.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.posexplode(blocks).alias("entry_no", "_b"),
+        )
+        .select(
+            "sitemap_url",
+            "entry_no",
+            let(
+                F.col("_b"),
+                lambda b: F.struct(
+                    field(b, "loc").alias("loc"),
+                    field(b, "lastmod").alias("lastmod"),
+                    F.lower(field(b, "changefreq")).alias("changefreq"),
+                    field(b, "priority").alias("priority"),
+                ),
+            ).alias("_e"),
+        )
+        .select("sitemap_url", "entry_no", "_e.*")
+        .where(F.col("loc") != "")
+        .withColumn("change_rate_prior", F.round(rate, 6))
+    )

@@ -1121,3 +1121,40 @@ def test_estimate_change_rate_single_shuffle(spark):
     # formatted plans list each node once as "(k) Exchange"
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 1, plan
+
+
+def test_parse_sitemap_entries_and_rate_priors(spark):
+    """Sitemap XML → per-URL crawl hints: entry order preserved, loc
+    trimmed, changefreq case-folded and mapped through CHANGEFREQ_RATES,
+    missing/unknown freq → default, entries without <loc> dropped, and
+    a <sitemapindex> body yields zero rows."""
+    from commoncrawl_fetcher_lite_spark.frontier.robots import (
+        CHANGEFREQ_RATES,
+        parse_sitemap,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/1 </loc><changefreq>HOURLY</changefreq>"
+        "<lastmod>2026-02-03</lastmod><priority>0.9</priority></url>"
+        "<url><loc>https://a.com/2</loc><changefreq>never</changefreq></url>"
+        "<url><loc>https://a.com/3</loc></url>"
+        "<url><changefreq>daily</changefreq></url>"
+        "</urlset>"
+    )
+    idx = "<sitemapindex><sitemap><loc>https://b.com/x.xml</loc></sitemap></sitemapindex>"
+    df = spark.createDataFrame(
+        [("https://a.com/s.xml", xml), ("https://b.com/s.xml", idx)],
+        "sitemap_url string, xml string",
+    )
+    rows = parse_sitemap(df).collect()
+    assert all(r["sitemap_url"] == "https://a.com/s.xml" for r in rows)
+    by_no = {r["entry_no"]: r for r in rows}
+    assert sorted(by_no) == [0, 1, 2]  # loc-less entry dropped
+    assert by_no[0]["loc"] == "https://a.com/1"
+    assert by_no[0]["changefreq"] == "hourly"
+    assert by_no[0]["change_rate_prior"] == CHANGEFREQ_RATES["hourly"]
+    assert by_no[0]["lastmod"] == "2026-02-03"
+    assert by_no[0]["priority"] == "0.9"
+    assert by_no[1]["change_rate_prior"] == 0.0
+    assert by_no[2]["change_rate_prior"] == 0.1  # default
