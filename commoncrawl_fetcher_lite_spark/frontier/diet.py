@@ -95,6 +95,15 @@ def schedule_frontier_compact(
     )
     unseen = skinny.join(seen.select("url_hash"), "url_hash", "left_anti")
 
+    from commoncrawl_fetcher_lite_spark.functions.joins import (
+        is_empty_local_relation,
+    )
+
+    if host_quotas is not None and is_empty_local_relation(host_quotas):
+        # empty-dim shortcut (see politeness.schedule_batch): all-null join
+        # output ≡ the default literal, and the literal keeps the rank
+        # filters WindowGroupLimit-eligible
+        host_quotas = None
     if host_quotas is not None:
         q = host_quotas.select(_host_id("host").alias("host_id"), "quota")
         if broadcast is None:

@@ -316,9 +316,24 @@ def schedule_batch(
         else F.coalesce(F.col("priority"), F.lit(0.0))
         + F.coalesce(F.col("recrawl_score"), F.lit(0.0))
     )
+    from commoncrawl_fetcher_lite_spark.functions.joins import (
+        is_empty_local_relation,
+    )
+
     df = candidates.withColumn("_prio", prio)
-    df = df.join(_gate(host_quotas, broadcast), "host", "left")
-    df = df.withColumn("quota", F.coalesce(F.col("quota"), F.lit(default_quota)))
+    # Empty-dim shortcut (r7, guide §2.4): an empty quota frame left-joined
+    # in contributes only nulls, so quota ≡ default_quota for every row.
+    # Substituting the LITERAL instead keeps both rank filters foldable,
+    # which lets Catalyst plan WindowGroupLimit (map-side partial top-k)
+    # for both windows instead of fully sorting every candidate row.
+    if is_empty_local_relation(host_quotas):
+        quota_col = F.lit(int(default_quota))
+        df = df.withColumn("quota", quota_col)
+    else:
+        df = df.join(_gate(host_quotas, broadcast), "host", "left")
+        df = df.withColumn(
+            "quota", F.coalesce(F.col("quota"), F.lit(default_quota))
+        )
 
     df = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salt)).cast("int")

@@ -50,6 +50,32 @@ def plan_size_bytes(df: DataFrame) -> int:
         return _UNKNOWN
 
 
+def is_empty_local_relation(df: DataFrame) -> bool:
+    """True iff the frame's optimized plan is a provably-empty
+    LocalRelation (e.g. ``createDataFrame([], schema)``). Plan-time only —
+    never runs a job. Lets join sites skip a dimension join entirely when
+    the dim is empty BY CONSTRUCTION: a left join against an empty frame
+    contributes all-null columns, so the caller can substitute the
+    coalesce defaults as literals — which keeps downstream rank filters
+    literal and eligible for WindowGroupLimit pushdown (guide §2.4: remove
+    shuffles/sorts the data doesn't need)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        name = plan.getClass().getSimpleName()
+        if name == "LocalRelation":
+            return bool(plan.data().isEmpty())
+        # createDataFrame([], schema) parallelizes an empty list → a LEAF
+        # LogicalRDD. For leaves only, a bounded isEmpty() probe (limit-1
+        # scan over already-local partitions, milliseconds) settles it;
+        # derived frames (Project/Filter/... on top) never take this probe,
+        # so store-backed dimension tables cost nothing here.
+        if name == "LogicalRDD" and plan.children().isEmpty():
+            return bool(df.isEmpty())
+        return False
+    except Exception:  # noqa: BLE001 — connect mode / API drift: keep the join
+        return False
+
+
 def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Broadcast hint iff stats prove df <= max_bytes (default: the session's
     spark.sql.autoBroadcastJoinThreshold). Unknown-size or over-threshold
