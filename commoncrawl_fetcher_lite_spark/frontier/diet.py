@@ -70,6 +70,7 @@ def schedule_frontier_compact(
     priority_col: Column | None = None,
     broadcast: bool | None = None,
     dedupe_collisions: bool = False,
+    quota_cap: int | None = None,
 ) -> DataFrame:
     """Seen-filter + politeness top-k on the 24 B skinny frame; payload
     re-joined once after the final row_number filter.
@@ -122,18 +123,26 @@ def schedule_frontier_compact(
         "_salt", F.pmod(F.col("url_hash"), F.lit(n_salt)).cast("int")
     )
     df = df.repartition(F.col("host_id"), F.col("_salt"))
+    # quota_cap: literal upper bound on every quota → WindowGroupLimit
+    # (see politeness.schedule_batch); exact per-host filter still applies
+    def _rank_filter(rn: Column) -> Column:
+        exact = rn <= F.col("quota")
+        if quota_cap is not None:
+            return (rn <= F.lit(int(quota_cap))) & exact
+        return exact
+
     w_local = Window.partitionBy("host_id", "_salt").orderBy(
         F.desc("_prio"), F.asc("url_hash")
     )
     df = df.withColumn("_lrn", F.row_number().over(w_local)).where(
-        F.col("_lrn") <= F.col("quota")
+        _rank_filter(F.col("_lrn"))
     )
     w_host = Window.partitionBy("host_id").orderBy(
         F.desc("_prio"), F.asc("url_hash")
     )
     sched = (
         df.withColumn("_rn", F.row_number().over(w_host))
-        .where(F.col("_rn") <= F.col("quota"))
+        .where(_rank_filter(F.col("_rn")))
         .select(
             "url_hash",
             F.col("_rn").alias("host_rank"),

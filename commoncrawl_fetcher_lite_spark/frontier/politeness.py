@@ -302,6 +302,7 @@ def schedule_batch(
     n_salt: int = 16,
     priority_col: Column | None = None,
     broadcast: bool | None = None,
+    quota_cap: int | None = None,
 ) -> DataFrame:
     """Emit the per-host top-quota candidates, deterministically.
 
@@ -340,17 +341,30 @@ def schedule_batch(
     )
     df = df.repartition(F.col("host"), F.col("_salt"))
 
+    # quota_cap (r7): a PROVEN upper bound on every host's quota (callers
+    # with a store-backed quota frame compute max(quota) — one bounded-row
+    # aggregate). Conjoining the literal bound with the exact per-host
+    # filter lets Catalyst infer WindowGroupLimit: each rank filter then
+    # keeps only the top-cap rows per group BEFORE/DURING the sort instead
+    # of fully sorting every candidate row. The exact quota filter still
+    # applies, so output is unchanged.
+    def _rank_filter(rn: Column) -> Column:
+        exact = rn <= F.col("quota")
+        if quota_cap is not None:
+            return (rn <= F.lit(int(quota_cap))) & exact
+        return exact
+
     w_local = Window.partitionBy("host", "_salt").orderBy(
         F.desc("_prio"), F.asc("url")
     )
     df = df.withColumn("_lrn", F.row_number().over(w_local)).where(
-        F.col("_lrn") <= F.col("quota")
+        _rank_filter(F.col("_lrn"))
     )
 
     w_host = Window.partitionBy("host").orderBy(F.desc("_prio"), F.asc("url"))
     out = (
         df.withColumn("_rn", F.row_number().over(w_host))
-        .where(F.col("_rn") <= F.col("quota"))
+        .where(_rank_filter(F.col("_rn")))
         .drop("_salt", "_lrn", "quota")
         .withColumnRenamed("_rn", "host_rank")
         .withColumnRenamed("_prio", "effective_priority")

@@ -73,8 +73,18 @@ def bootstrap(
     Optional policy tables (robots rules, domain blocklist, host_rank
     centrality prior) commit with the bootstrap snapshot and carry
     forward across iterations."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     spark = store.spark
-    frontier = with_url_hash(seeds).dropDuplicates(["url_hash", "url"])
+    # spread before the canonicalize+hash pass (r7): seed frames read from
+    # one or two parquet files arrive as 1-2 scan partitions, throttling
+    # the per-row URL hashing to 1-2 cores; spread_for_compute never
+    # narrows, so a wide production scan is untouched
+    frontier = with_url_hash(spread_for_compute(seeds)).dropDuplicates(
+        ["url_hash", "url"]
+    )
     seen = spark.createDataFrame([], "url_hash long, url string")
     tables = {"frontier": frontier, "urlseen": seen}
     if robots is not None:
@@ -97,11 +107,20 @@ def run_iteration(
     exactly one new snapshot. Deterministic: same input snapshot → same
     output snapshot (fetch_fn must be deterministic too; tests use the
     fixture WARC store)."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     frontier = store.read("frontier")
     seen = store.read("urlseen")
     robots = store.read("robots") if store.exists("robots") else None
 
-    candidates = frontier
+    # spread the frontier scan before the CPU-heavy candidate stages (r7):
+    # a snapshot table a few tens of MB big packs into 1-2 scan partitions
+    # (maxPartitionBytes), which serialized the robots regex fold + URL
+    # canonicalize/hash onto 1-2 cores — measured 2-3 s/iteration at
+    # sf1.0. spread_for_compute never narrows a wide production scan.
+    candidates = spread_for_compute(frontier)
     if robots is not None:
         candidates = apply_robots(candidates, robots)
 
@@ -217,6 +236,14 @@ def run_iteration(
             )
         )
 
+    # literal quota cap (r7): max over the (checkpointed, one-row-per-host)
+    # refill frame — a bounded single-row aggregate, never row data. The
+    # backoff division above only LOWERS quotas, so the refill max stays an
+    # upper bound; passing it as a literal lets the politeness windows plan
+    # WindowGroupLimit (top-cap per group) instead of full per-group sorts.
+    cap_row = refilled.agg(F.max("quota")).first()
+    quota_cap = int(cap_row[0]) if cap_row and cap_row[0] is not None else None
+
     # materialize the scheduling plan ONCE: batch feeds the fetch, both
     # state updates, and the commit write — without this the anti-join +
     # double window re-executed 3-4x per iteration.
@@ -226,11 +253,13 @@ def run_iteration(
         )
 
         batch = schedule_frontier_compact(
-            candidates, seen, quotas, default_quota=0, n_salt=cfg.n_salt
+            candidates, seen, quotas, default_quota=0, n_salt=cfg.n_salt,
+            quota_cap=quota_cap,
         ).localCheckpoint(eager=True)
     else:
         batch = schedule_batch(
-            candidates, quotas, default_quota=0, n_salt=cfg.n_salt
+            candidates, quotas, default_quota=0, n_salt=cfg.n_salt,
+            quota_cap=quota_cap,
         ).localCheckpoint(eager=True)
 
     # only hosts refilled this round get a new state row — untouched hosts'

@@ -655,10 +655,13 @@ def decontaminate(
     doc_sh = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
     )
+    # count(1), not countDistinct (r7): word_shingles emits each doc's
+    # DISTINCT shingles, so the exploded rows are already unique per id —
+    # the distinct-aggregate machinery (per-group dedup hash) buys nothing
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
         .groupBy("id")
-        .agg(F.countDistinct("sh").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     return (
         docs.select(F.col(id_col).alias("id"))
@@ -704,10 +707,14 @@ def contamination_report(
     marked = doc_sh.join(
         F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "sh", "left"
     )
+    # plain counts, not countDistinct (r7): the exploded shingles are
+    # per-doc DISTINCT already (word_shingles default), so count(1) and
+    # count(when hit) are value-identical and skip the distinct-agg
+    # Expand/dedup machinery entirely
     per_doc = marked.groupBy("id").agg(
-        F.countDistinct("sh").alias("n_shingles"),
-        F.countDistinct(
-            F.when(F.col("_hit").isNotNull(), F.col("sh"))
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(
+            F.when(F.col("_hit").isNotNull(), F.lit(1))
         ).alias("n_overlap"),
     )
     return (

@@ -200,42 +200,64 @@ def lang_id(
     and scan-side. ``scorer`` (module docstring) swaps in a batched model
     (fastText-class); output columns must match LANG_SCORER_FIELDS.
 
-    Perf note (measured, sf0.1 / 16 cores, min of 3): these 5 HOF filter
-    passes over the let-bound token array run 1.1 s for 5k docs; the
-    seemingly-smarter regexp_count single-string variant is 6x SLOWER
-    (7.3 s — Java lookbehind alternation), so the HOF form stays. Round-1's
-    7.4 s bench reading for this query was box contention, not the plan."""
-    from commoncrawl_fetcher_lite_spark.functions.letbind import let
-
+    Shape note (r7): the former 5 HOF filter passes over a let-bound token
+    array were INTERPRETED (higher-order functions are CodegenFallback) and
+    measured 8.5 s at sf1.0; this explode → count-when aggregation stays in
+    whole-stage codegen end to end and measured 1.3 s for byte-identical
+    output. At 100 TB the explode is map-local and the partial (map-side)
+    aggregation collapses to one row per document BEFORE the exchange, so
+    the single shuffle carries O(docs) skinny rows — not O(tokens). (An
+    earlier regexp_count single-string variant measured 6x slower than even
+    the HOF form — Java lookbehind alternation; noted so nobody retries it.)"""
     if scorer is not None:
         return _apply_scorer(docs, scorer, LANG_SCORER_FIELDS, text_col, id_col)
 
-    def _pred(toks):
-        n = F.size(toks)
-        scores = [
-            (
-                lang,
-                F.round(
-                    F.size(F.filter(toks, lambda w: w.isin(markers))).cast("double")
-                    / n,
-                    6,
-                ),
+    ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for lang, markers in LANG_MARKERS.items():
+        aggs.append(
+            F.count(F.when(F.col("w").isin(markers), F.lit(1))).alias(
+                f"_c_{lang}"
             )
-            for lang, markers in LANG_MARKERS.items()
-        ]
-        pred = None
-        best = None
-        for lang, s in scores:
-            if pred is None:
-                pred, best = F.lit(lang), s
-            else:
-                pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-                best = F.when(s > best, s).otherwise(best)
-        return F.struct(
-            pred.alias("pred_lang"), F.round(best, 6).alias("lang_score")
         )
+    counts = ex.groupBy(id_col).agg(*aggs)
+    scores = [
+        (lang, F.round(F.col(f"_c_{lang}").cast("double") / F.col("_n"), 6))
+        for lang in LANG_MARKERS
+    ]
+    pred = None
+    best = None
+    for lang, s in scores:
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    # left join back: a null-text doc explodes to zero rows but must still
+    # emit its row — null counts reproduce the old null-score semantics
+    # (pred falls through to the first language, score null)
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        id_col, pred.alias("pred_lang"), F.round(best, 6).alias("lang_score")
+    )
 
-    return docs.select(id_col, F.inline(F.array(let(tokens(text_col), _pred))))
+
+def _window_min_chain(arr: Column, w: int) -> Column:
+    """Sliding-window minimum over a BOUND array via chained zip_with —
+    m_k[i] = least(m_{k-1}[i], arr[i+k-1]) — then one slice to the valid
+    prefix. Value-identical to transform(sequence, array_min(slice(i, w)))
+    (F.least == lexicographic array_min element-wise; the valid prefix
+    never sees zip_with's null padding), one comparison per element per
+    level instead of a w-element slice copy per position (r7)."""
+    m = arr
+    for k in range(2, w + 1):
+        m = F.zip_with(
+            m,
+            F.slice(arr, k, F.greatest(F.size(arr) - (k - 1), F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    if w == 1:
+        return m
+    return F.slice(m, 1, F.greatest(F.size(arr) - (w - 1), F.lit(0)))
 
 
 def fingerprints(
@@ -256,15 +278,11 @@ def fingerprints(
     fp_struct = let(
         F.transform(tokens(text_col), lambda w: F.md5(w)),
         lambda hashes: let(
-            F.when(
-                F.size(hashes) >= window,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
-                        lambda i: F.array_min(F.slice(hashes, i, window)),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>")),
+            # r7: windowed-min chain (see _window_min_chain) — short docs
+            # fall out as an empty set through the greatest(…,0) slice,
+            # null text nulls through and is dropped by the n>0 filter,
+            # both exactly as the old CASE guard behaved
+            F.array_distinct(_window_min_chain(hashes, window)),
             lambda fp: F.struct(
                 F.size(fp).alias("n"), F.array_min(fp).alias("mn")
             ),
@@ -310,25 +328,16 @@ def fingerprint_set(
     rows, not document text."""
     from commoncrawl_fetcher_lite_spark.functions.letbind import let
 
+    from commoncrawl_fetcher_lite_spark.operators.dedup import gram_chain
+
     fp_arr = let(
         tokens(text_col),
         lambda toks: let(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-            lambda grams: F.when(
-                F.size(grams) >= stride,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(grams) - (stride - 1)),
-                        lambda i: F.array_min(F.slice(grams, i, stride)),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>")),
+            # r7: gram_chain build (one concat per element, no slice copy);
+            # md5 count unchanged, null text falls through the next guard
+            # to the empty array exactly as before
+            F.transform(gram_chain(toks, n), lambda g: F.md5(g)),
+            lambda grams: F.array_distinct(_window_min_chain(grams, stride)),
         ),
     )
     return docs.select(
@@ -650,15 +659,14 @@ def repetition_signals(
     def _run_stats(toks: Column, n: int) -> Column:
         """struct(best, dup, total) over the doc's n-grams via the shared
         _modal_run_stats run-length machinery."""
+        from commoncrawl_fetcher_lite_spark.operators.dedup import gram_chain
+
         total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        # r7: chained-zip_with gram build (see dedup.gram_chain) — one
+        # concat per element instead of an n-element slice copy; coalesce
+        # keeps the old empty-array-on-null contract
         grams_expr = F.array_sort(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.coalesce(gram_chain(toks, n), F.array().cast("array<string>"))
         )
         return _modal_run_stats(
             grams_expr,
