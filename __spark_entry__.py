@@ -895,8 +895,16 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 ANN baseline over the embeddings table.
     All arithmetic in float64 with explicit formula so the DuckDB oracle
     computes bit-identical scores; ties broken by neighbor id."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    # spread the corpus side (r7): the per-pair dot/norm folds below the
+    # broadcast cross join otherwise run on the 1-2 scan partitions
+    emb = spread_for_compute(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1207,9 +1215,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token count estimate per document."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
     from commoncrawl_fetcher_lite_spark.operators.text import bpe_ish_token_count
 
-    return _t(spark, sf_dir, "documents").select(
+    return spread_for_compute(_t(spark, sf_dir, "documents")).select(
         "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
     )
 
@@ -1272,7 +1283,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" twin suffix tokens")).alias("text"),
     )
-    corpus = docs.unionByName(twins)
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    # spread before the per-row block build + explode (r7): the narrow
+    # documents scan would run the chunking on 1-2 cores
+    corpus = spread_for_compute(docs.unionByName(twins))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     chunks = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(toks) / 10).cast("int") - 1),
@@ -1620,8 +1637,16 @@ def q_urlseen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_url_hash,
     )
 
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     seeds = _seeds_view(spark, sf_dir)
-    seen = with_url_hash(seeds.where(F.col("event_id") % 7 == 0).select("url"))
+    seen = with_url_hash(
+        spread_for_compute(
+            seeds.where(F.col("event_id") % 7 == 0).select("url")
+        )
+    )
     blocks = build_bloom_blocks(seen, n_blocks=8, expected=50_000)
     return filter_unseen_blocked(seeds, seen, blocks, n_blocks=8).select("url")
 
@@ -1648,8 +1673,14 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / 100.0).alias("priority"),
         F.col("ts").alias("last_fetch_ts"),
     )
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     scored = with_recrawl_priority(
-        hist, now=F.lit("2026-01-01").cast("timestamp"), change_rate_per_day=0.05
+        spread_for_compute(hist),
+        now=F.lit("2026-01-01").cast("timestamp"),
+        change_rate_per_day=0.05,
     )
     w = Window.partitionBy("host").orderBy(
         F.desc("effective_priority"), F.asc("url")
@@ -1896,10 +1927,25 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate form of the gate API; the scaling workload uses the
     frame+join form — both shapes, one oracle-checked answer (shape
     trade-offs: gopher_gate docstring)."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
     from commoncrawl_fetcher_lite_spark.operators.text import gopher_gate, tfidf_topk
 
-    docs = _t(spark, sf_dir, "documents")
-    kept = docs.where(gopher_gate(min_words=20))
+    # spread BEFORE the gate (r7): the gopher predicate is the expensive
+    # per-row stage here, and the narrow documents scan would evaluate it
+    # on 1-2 cores. The verdict is emitted through inline(array(struct))
+    # so the filter consumes a GENERATED attribute — a plain .where(gate)
+    # gets predicate-pushed back below the round-robin exchange onto the
+    # narrow scan (measured +15%: spread exchange paid, gate still narrow).
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"))
+    gated = docs.select(
+        "*",
+        F.inline(
+            F.array(F.struct(gopher_gate(min_words=20).alias("_gpass")))
+        ),
+    )
+    kept = gated.where(F.col("_gpass")).drop("_gpass")
     return tfidf_topk(kept, k=3)
 
 

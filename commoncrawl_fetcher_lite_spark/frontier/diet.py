@@ -122,7 +122,8 @@ def schedule_frontier_compact(
     df = unseen.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(n_salt)).cast("int")
     )
-    df = df.repartition(F.col("host_id"), F.col("_salt"))
+    # no explicit repartition (r7): the window's own exchange enables
+    # WindowGroupLimit(Partial) below it — see politeness.schedule_batch
     # quota_cap: literal upper bound on every quota → WindowGroupLimit
     # (see politeness.schedule_batch); exact per-host filter still applies
     def _rank_filter(rn: Column) -> Column:

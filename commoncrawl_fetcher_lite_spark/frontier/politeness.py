@@ -73,9 +73,17 @@ def apply_robots(
     Size-gated join — robots is one row per host, which is small at test
     scale but ~10^7 rows at CC scale (robots.py:20-22): broadcast only when
     stats prove it under the session threshold, else shuffle join on host."""
-    from commoncrawl_fetcher_lite_spark.functions.letbind import let
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        let,
+        spread_for_compute,
+    )
 
-    joined = candidates.join(_gate(robots, broadcast), "host", "left")
+    # spread candidates first (r7): under a broadcast robots join the rule
+    # fold runs on the candidate scan's partitioning — 1-2 cores for a
+    # narrow snapshot/seed scan; no-op when the scan is already wide
+    joined = spread_for_compute(candidates).join(
+        _gate(robots, broadcast), "host", "left"
+    )
 
     plain_t = "array<struct<p:string,len:int,allow:boolean>>"
     wild_t = "array<struct<rx:string,len:int,allow:boolean>>"
@@ -339,7 +347,13 @@ def schedule_batch(
     df = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salt)).cast("int")
     )
-    df = df.repartition(F.col("host"), F.col("_salt"))
+    # no explicit repartition here (r7): Window.partitionBy plans the same
+    # hashpartitioning(host, _salt) exchange itself, and when the planner
+    # OWNS that exchange it can insert WindowGroupLimit(Partial) BELOW it —
+    # each map partition pre-truncates to the top-cap rows per (host, salt)
+    # group BEFORE anything shuffles. A user-forced REPARTITION_BY_COL
+    # exchange blocked exactly that rewrite (Final-only mode, full-size
+    # shuffle); physical partitioning/salting semantics are unchanged.
 
     # quota_cap (r7): a PROVEN upper bound on every host's quota (callers
     # with a store-backed quota frame compute max(quota) — one bounded-row

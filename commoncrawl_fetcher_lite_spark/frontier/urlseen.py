@@ -165,9 +165,15 @@ def filter_unseen(
     and a multi-million-row broadcast relation costs more than it saves.
     The Bloom byte-gate keeps the split cheap because the probe is one
     vectorized UDF column, not a join."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     cand = candidates
     if "url_hash" not in cand.columns:
-        cand = with_url_hash(cand, url_col)
+        # spread before the canonicalize+hash pass (r7): no-op when the
+        # caller's scan is already wide, 1-2-core fix when it is not
+        cand = with_url_hash(spread_for_compute(cand), url_col)
     seen_kv, keys = _seen_keys(seen)
     if bloom is not None:
         probe = _probe_expr(bloom)
@@ -257,9 +263,15 @@ def probe_bloom_blocks(
     block b, bitmap row of block b) — bitmaps never aggregate anywhere. A
     block with no bitmap row means nothing was ever inserted → definite
     unseen."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     cand = candidates
     if "url_hash" not in cand.columns:
-        cand = with_url_hash(cand, url_col)
+        # spread before the canonicalize+hash pass (r7): narrow scans pin
+        # it to 1-2 cores; no-op on wide production scans
+        cand = with_url_hash(spread_for_compute(cand), url_col)
     cand = cand.withColumn("_block", _block_of(F.col("url_hash"), n_blocks))
     out_schema = T.StructType(
         list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]

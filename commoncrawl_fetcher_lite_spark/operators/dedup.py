@@ -171,8 +171,23 @@ def shingle_frame(
         # distinct=False (r7): every consumer of this frame is
         # multiplicity-invariant — minhash mins, array_intersect (returns
         # distinct elements), and verify's distinct-count — so the
-        # per-row array_distinct pass here bought nothing
-        .select("id", word_shingles("_t", n, distinct=False).alias("sh"))
+        # per-row array_distinct pass here bought nothing.
+        # inline(array(struct)) (r7): sh as a GENERATED attribute — a plain
+        # aliased projection let the size>0 filter predicate-push below the
+        # spread exchange, re-running the whole gram chain per row on the
+        # narrow scan AND again in the wide projection (visible in the
+        # executed plan: zip_with chain duplicated into the scan's
+        # DataFilters). Generator outputs block that pushdown.
+        .select(
+            "id",
+            F.inline(
+                F.array(
+                    F.struct(
+                        word_shingles("_t", n, distinct=False).alias("sh")
+                    )
+                )
+            ),
+        )
         .where(F.size("sh") > 0)
     )
 
@@ -652,7 +667,11 @@ def decontaminate(
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("sh"))
         .distinct()
     )
-    doc_sh = docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    doc_sh = spread_for_compute(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
     )
     # count(1), not countDistinct (r7): word_shingles emits each doc's
@@ -700,7 +719,11 @@ def contamination_report(
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("sh"))
         .distinct()
     )
-    doc_sh = docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    doc_sh = spread_for_compute(docs).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("sh"),
     )

@@ -78,8 +78,14 @@ def extract_text(
     """(id, title, body_text, n_chars_clean) for each HTML document —
     the scan-side projection a WARC-extract output feeds into the text
     quality/dedup gates."""
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     body = html_to_text(html_col)
-    return docs.select(
+    # spread before the per-row regexp chain (r7): narrow small-file scans
+    # otherwise pin this map stage to 1-2 cores; no-op on wide scans
+    return spread_for_compute(docs).select(
         F.col(id_col),
         html_title(html_col).alias("title"),
         body.alias("body_text"),
@@ -131,7 +137,11 @@ def scrub_documents(
         + F.size(F.regexp_extract_all(t1, F.lit(_RE_IPV4), F.lit(0)))
         + F.size(F.regexp_extract_all(t2, F.lit(_RE_PHONE), F.lit(0)))
     )
-    return docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(docs).select(
         F.col(id_col),
         t3.alias("text"),
         n_red.cast("int").alias("n_redactions"),
@@ -186,9 +196,13 @@ def extract_links(
             .otherwise(F.lit(None))
         )
 
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     resolved = F.transform(raw, _resolve)
     return (
-        docs.select(
+        spread_for_compute(docs).select(
             F.col(id_col),
             F.explode(F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))).alias("url"),
         )
@@ -243,7 +257,11 @@ def boilerplate_blocks(
         tokens_nonempty,
     )
 
-    exploded = docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    exploded = spread_for_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(html_col), _RE_BLOCK_SPLIT)).alias(
             "block_no", "_raw"

@@ -308,7 +308,17 @@ def dsir_hash_features(
             ),
         ),
     )
-    return docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    # spread before the tokenize+md5 explode (r7): narrow small-file scans
+    # pin this map stage to 1-2 cores. Order-safety of the downstream
+    # per-doc float sum: a doc's exploded rows stay contiguous in ONE
+    # partition (docs are repartitioned whole), and the scoring join is
+    # broadcast (no exchange), so each doc's logratio sum folds in the
+    # same feature order as before.
+    return spread_for_compute(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(feats).alias("f")
     ).select(
         "doc_id",

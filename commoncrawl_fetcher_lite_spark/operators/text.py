@@ -184,7 +184,13 @@ def quality_features(
             F.round(score, 4).alias("quality_score"),
         )
 
-    return docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    # spread before the per-row feature pass (r7): a small-file scan
+    # arrives as 1-2 partitions and would run this map stage on 1-2 cores
+    return spread_for_compute(docs).select(
         id_col, F.inline(F.array(let(tokens(text_col), _features)))
     )
 
@@ -212,7 +218,15 @@ def lang_id(
     if scorer is not None:
         return _apply_scorer(docs, scorer, LANG_SCORER_FIELDS, text_col, id_col)
 
-    ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    # spread before the explode so the map-side partial aggregation runs
+    # wide (narrow small-file scans otherwise pin it to 1-2 cores)
+    ex = spread_for_compute(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for lang, markers in LANG_MARKERS.items():
         aggs.append(
@@ -291,8 +305,12 @@ def fingerprints(
     # F.inline = generator node: never collapsed into downstream
     # projections, so the whole let-chain runs exactly once per row even
     # though two output columns (and the filter) consume it.
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     return (
-        docs.select(id_col, F.inline(F.array(fp_struct)))
+        spread_for_compute(docs).select(id_col, F.inline(F.array(fp_struct)))
         .withColumnRenamed("n", "n_fingerprints")
         .withColumnRenamed("mn", "min_fingerprint")
         .where(F.col("n_fingerprints") > 0)
@@ -340,7 +358,11 @@ def fingerprint_set(
             lambda grams: F.array_distinct(_window_min_chain(grams, stride)),
         ),
     )
-    return docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(docs).select(
         F.col(id_col).alias("id"), F.explode(fp_arr).alias("fp")
     )
 
@@ -401,7 +423,13 @@ def corpus_stats(
     distinct values regardless of corpus size), so the map stays tiny at
     100 TB. For unbounded-cardinality metrics (floating scores), swap in
     approx_percentile."""
-    base = docs.select(*group_cols, token_count(text_col).alias("n_tokens"))
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    base = spread_for_compute(docs).select(
+        *group_cols, token_count(text_col).alias("n_tokens")
+    )
     return base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -451,8 +479,14 @@ def gopher_quality(
         max_top2gram_frac,
         min_alpha_word_frac,
     )
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     toks_expr = tokens_nonempty(t)
-    return docs.select(
+    # spread before the per-row gate machinery (r7): sf-scale documents
+    # scans arrive as 1-2 partitions — measured 3.4 s → 0.5 s at sf1.0
+    return spread_for_compute(docs).select(
         id_col, F.inline(F.array(let(toks_expr, _feats)))
     )
 
@@ -701,8 +735,17 @@ def repetition_signals(
 
         return _build(0, [])
 
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     toks_expr = tokens_nonempty(F.col(text_col))
-    return docs.select(id_col, F.inline(F.array(let(toks_expr, _feats))))
+    # spread before the per-row run-length machinery (r7): measured
+    # 18.3 s → 2.1 s at sf1.0 — the scan arrived as 2 partitions and the
+    # whole map stage ran on 2 of 32 cores
+    return spread_for_compute(docs).select(
+        id_col, F.inline(F.array(let(toks_expr, _feats)))
+    )
 
 
 def tfidf_topk(
@@ -739,7 +782,11 @@ def tfidf_topk(
         raise ValueError("tfidf_topk: k must be >= 1")
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    toks = spread_for_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_nonempty(text_col)).alias("w"),
     )
@@ -816,7 +863,11 @@ def normalize_text(
             " ",
         )
     )
-    return docs.select(
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(docs).select(
         id_col,
         norm.alias("norm_text"),
         (norm != F.col(text_col)).alias("changed"),
@@ -876,7 +927,11 @@ def chunk_documents(
             )
         )
 
+    from commoncrawl_fetcher_lite_spark.functions.letbind import (
+        spread_for_compute,
+    )
+
     toks_expr = tokens_nonempty(F.col(text_col))
-    return docs.select(
+    return spread_for_compute(docs).select(
         id_col, F.explode(let(toks_expr, _chunks)).alias("c")
     ).select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_text")
