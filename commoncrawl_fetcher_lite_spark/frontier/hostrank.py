@@ -74,7 +74,7 @@ def host_pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     d = float(damping)
     ranks = nodes.select("host", F.lit(1.0 / n).alias("r"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # rank state is ONE ROW PER HOST — orders of magnitude smaller
         # than the edge list. Joining it edge-side via a stats-gated
         # broadcast means the STATIC edge frame is never shuffled: the
@@ -107,6 +107,15 @@ def host_pagerank(
                     + d * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every SECOND iteration (r7, guide §2.6/§5): the eager
+        # materialization is this loop's serial spine — each one is a
+        # driver-blocking job + a full write of the rank state. Plan depth
+        # stays bounded at 2 iterations (Catalyst re-analysis cost is
+        # O(depth^2) only past ~8-10 unrolled joins), the per-iteration
+        # arithmetic is unchanged, and the job/barrier count halves —
+        # locally that is half the fixed job latency, on a cluster half
+        # the checkpoint-write barriers of the measured Amdahl spine.
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("host", F.round("r", 6).alias("rank"))

@@ -159,6 +159,17 @@ def run_iteration(
     if not cfg.compact_shuffles:
         candidates = filter_unseen(candidates, seen)
 
+    # materialize the filtered candidate frame ONCE (r7): it feeds BOTH
+    # the token refill (its distinct hosts) and the scheduling windows,
+    # and those execute as SEPARATE jobs (the refill frame is
+    # checkpointed below), so without this the whole candidate pipeline —
+    # frontier merge-on-read resolve, robots rule fold, blocklist gate,
+    # seen anti-join — ran twice per iteration (measured: ~40% of a
+    # warm iteration at sf0.1). What is stored is O(candidates) skinny
+    # rows (url, host, priority, recrawl_score, url_hash); recomputing
+    # the regex fold + anti-join per consumer costs more at every scale.
+    candidates = candidates.localCheckpoint(eager=True)
+
     # token-bucket politeness (north star: "priority = recrawl score +
     # host token-bucket state"): refill each candidate host's bucket from
     # the host_state table committed with the previous snapshot; quota =
