@@ -74,6 +74,22 @@ def test_pagerank_partitioning_invariant(spark, chain_edges):
     assert a == b
 
 
+def test_pagerank_checkpoint_cadence_invariant(spark, chain_edges):
+    """r7: ranks checkpoint every SECOND iteration (plus the final one).
+    Every cadence branch must produce reference values — n_iter=1 (final-
+    only), n_iter=3 (one mid + final on an even index), n_iter=4 (final
+    lands on a cadence checkpoint) — i.e. the materialization schedule is
+    performance-only and never leaks into the arithmetic."""
+    df = spark.createDataFrame(chain_edges, "src string, dst string")
+    for n_iter in (1, 3, 4):
+        got = {
+            r["host"]: r["rank"]
+            for r in host_pagerank(df, n_iter=n_iter).collect()
+        }
+        want = _numpy_pagerank(chain_edges, n_iter=n_iter)
+        assert got == pytest.approx(want, abs=2e-6), n_iter
+
+
 def test_pagerank_rejects_bad_iter(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
