@@ -31,9 +31,12 @@ sources/warc.py citations); only the physical plan differs.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from commoncrawl_fetcher_lite_spark.functions.joins import maybe_broadcast
 
 
 def pick_n_buckets(
@@ -107,6 +110,11 @@ def ensure_state_bucketed(
     for t in spark.catalog.listTables():
         if t.name.startswith(f"{name}_s"):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            # the table is EXTERNAL (written with an explicit path), so
+            # DROP TABLE removes only catalog metadata — without this
+            # every compaction generation would leave a full state-sized
+            # parquet dir on disk forever (ADVICE r6)
+            shutil.rmtree(os.path.join(path_root, t.name), ignore_errors=True)
     if n_buckets is None:
         n_buckets = pick_n_buckets(base.count())
     write_seen_bucketed(
@@ -148,7 +156,13 @@ def join_state_bucketed(
     val_cols = [c for c in base.columns if c != key]
     out = probe.join(base, key, "left")
     if delta is not None:
-        d = F.broadcast(
+        # stats-gated, not forced (ADVICE r6): the delta is the merge of
+        # up to compact_every-1 batch-sized segments — usually tiny, but
+        # a forced broadcast of an O(batch x compact_every) frame can OOM
+        # at exactly the scale this accelerator targets. maybe_broadcast
+        # hints only when parquet stats prove it small; an oversized
+        # delta degrades to a shuffle join instead of an OOM.
+        d = maybe_broadcast(
             delta.select(
                 key, *[F.col(c).alias(f"_d_{c}") for c in val_cols]
             )

@@ -122,14 +122,23 @@ class SnapshotStore:
             return self.spark.read.parquet(
                 *[s["path"] for s in meta["segments"]]
             )
-        # mor / upsert: tag rows with their segment sequence number
+        # mor / upsert: tag rows with their segment sequence number.
+        # allowMissingColumns = Iceberg schema-evolution semantics: a
+        # segment written before a column existed (e.g. a legacy
+        # 2-column host_backoff chain gaining snap_set) pads NULL
+        # instead of throwing on every subsequent read (ADVICE r6);
+        # readers give NULLs the legacy meaning (politeness.py).
         segs = meta["segments"]
         rows = None
         for s in segs:
             part = self.spark.read.parquet(s["path"]).withColumn(
                 "_seq", F.lit(int(s["seq"]))
             )
-            rows = part if rows is None else rows.unionByName(part)
+            rows = (
+                part
+                if rows is None
+                else rows.unionByName(part, allowMissingColumns=True)
+            )
         key = meta["key"]
         if mode == "upsert":
             # newest segment wins per key; a segment never holds duplicate
@@ -204,7 +213,12 @@ class SnapshotStore:
             part = self.spark.read.parquet(s["path"]).withColumn(
                 "_seq", F.lit(int(s["seq"]))
             )
-            delta = part if delta is None else delta.unionByName(part)
+            # schema evolution across delta segments: see _resolve
+            delta = (
+                part
+                if delta is None
+                else delta.unionByName(part, allowMissingColumns=True)
+            )
         w = Window.partitionBy(*key).orderBy(F.desc("_seq"))
         delta = (
             delta.withColumn("_rn", F.row_number().over(w))

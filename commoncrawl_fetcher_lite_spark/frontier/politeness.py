@@ -428,12 +428,19 @@ def effective_backoff(
     quota-division join input at |still-backed-off hosts|.
 
     Accepts legacy (host, backoff_mult) state without snap_set — treated
-    as set at `at_snap` (no decay), so old checkpoints stay readable."""
+    as set at `at_snap` (no decay), so old checkpoints stay readable.
+    Legacy rows can also surface as snap_set IS NULL: once a new 3-column
+    delta lands on a legacy chain, the store's merge-on-read union pads
+    the old segments with NULL snap_set (unionByName
+    allowMissingColumns) — the coalesce gives those rows the same
+    no-decay semantics (ADVICE r6)."""
     if state is None:
         return None
     cols = state.columns
     snap_set = (
-        F.col("snap_set") if "snap_set" in cols else F.lit(int(at_snap))
+        F.coalesce(F.col("snap_set"), F.lit(int(at_snap)))
+        if "snap_set" in cols
+        else F.lit(int(at_snap))
     )
     eff = F.greatest(
         F.col("backoff_mult")
@@ -505,8 +512,12 @@ def backoff_prune_predicate(at_snap: int) -> str:
     """SQL predicate keeping only rows still backed off at `at_snap` —
     handed to the snapshot store's upsert compaction so recovered hosts'
     rows are physically dropped (an absent row reads as multiplier 1,
-    exactly what their decayed value is)."""
-    return f"backoff_mult > power(2.0, {int(at_snap)} - snap_set)"
+    exactly what their decayed value is). NULL-safe on snap_set so a
+    legacy 2-column row (padded to NULL by the merge-on-read union)
+    compacts under its no-decay semantics instead of evaluating to NULL
+    and being dropped while still backed off (ADVICE r6)."""
+    a = int(at_snap)
+    return f"backoff_mult > power(2.0, {a} - coalesce(snap_set, {a}))"
 
 
 def update_backoff(

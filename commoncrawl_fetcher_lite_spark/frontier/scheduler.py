@@ -149,7 +149,12 @@ def run_iteration(
             candidates.join(maybe_broadcast(ranks), "host", "left")
             .withColumn(
                 "priority",
-                F.col("priority")
+                # coalesce priority too (ADVICE r6): schedule_batch
+                # accepts NULL-priority rows (its own coalesce defaults
+                # them to 0), so without this a null-priority candidate's
+                # sum is NULL and the centrality boost silently vanishes
+                # for exactly those rows
+                F.coalesce(F.col("priority"), F.lit(0.0))
                 + float(cfg.host_rank_weight)
                 * F.coalesce(F.col("rank"), F.lit(0.0)),
             )

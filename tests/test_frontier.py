@@ -999,6 +999,76 @@ def test_bucketed_state_iterations_match_plain(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_backoff_legacy_chain_gains_snap_set(spark, tmp_path):
+    """ADVICE r6: a legacy 2-column (host, backoff_mult) backoff chain
+    must stay usable after a modern 3-column delta lands on it. The
+    merge-on-read union pads legacy rows with NULL snap_set
+    (allowMissingColumns — Iceberg schema-evolution semantics), readers
+    give NULL the documented legacy meaning (set-at-read: no decay), and
+    the prune predicate compacts those rows null-safely instead of
+    evaluating to NULL and dropping a still-backed-off host."""
+    from commoncrawl_fetcher_lite_spark.frontier.checkpoint import SnapshotStore
+    from commoncrawl_fetcher_lite_spark.frontier.politeness import (
+        backoff_prune_predicate,
+        effective_backoff,
+    )
+
+    store = SnapshotStore(str(tmp_path / "snap"), spark, compact_every=2)
+    legacy = spark.createDataFrame(
+        [("old.example.com", 8.0)], "host string, backoff_mult double"
+    )
+    store.commit(upserts={"host_backoff": {"df": legacy, "key": ["host"]}})
+
+    modern = spark.createDataFrame(
+        [("new.example.com", 4.0, 1)],
+        "host string, backoff_mult double, snap_set int",
+    )
+    store.commit(
+        upserts={
+            "host_backoff": {
+                "df": modern,
+                "key": ["host"],
+                "prune": backoff_prune_predicate(1),
+            }
+        }
+    )
+    # pre-fix this read threw AnalysisException (strict unionByName over
+    # 2-col + 3-col segments)
+    rows = {r.host: r for r in store.read("host_backoff").collect()}
+    assert rows["old.example.com"].backoff_mult == 8.0
+    assert rows["old.example.com"].snap_set is None
+    # legacy row: no decay; modern row at snap 3 decayed 4/2^2 = 1 -> out
+    eff = {
+        r.host: r.backoff_mult
+        for r in effective_backoff(
+            store.read("host_backoff"), at_snap=3
+        ).collect()
+    }
+    assert eff == {"old.example.com": 8.0}
+
+    # third segment exceeds compact_every=2 -> folds WITH the prune
+    # predicate, which pre-fix referenced snap_set unconditionally
+    d3 = spark.createDataFrame(
+        [("new.example.com", 2.0, 2)],
+        "host string, backoff_mult double, snap_set int",
+    )
+    store.commit(
+        upserts={
+            "host_backoff": {
+                "df": d3,
+                "key": ["host"],
+                "prune": backoff_prune_predicate(2),
+            }
+        }
+    )
+    meta = store.manifest()["snapshots"]["2"]["tables"]["host_backoff"]
+    assert meta["mode"] == "base"  # chain folded
+    post = {r.host: r for r in store.read("host_backoff").collect()}
+    # the legacy host survived its first compaction (mult 8 > 2^0)
+    assert post["old.example.com"].backoff_mult == 8.0
+    assert post["new.example.com"].backoff_mult == 2.0
+
+
 def test_backoff_prune_drops_recovered_rows(spark, tmp_path):
     """Upsert compaction with the backoff prune predicate physically
     drops rows whose effective multiplier has decayed to 1."""
