@@ -316,9 +316,64 @@ class SnapshotStore:
         snap = prev_snap + 1
         snap_meta: dict[str, Any] = {"tables": {}, "metrics": metrics or {}}
 
+        # Overlap the snapshot's INDEPENDENT table writes (guide §2.6:
+        # actions are only sequential because the driver calls them
+        # sequentially): each write targets its own path and is its own
+        # Spark job, so issuing them from a small thread pool lets the
+        # next table's tasks back-fill the executors idled by the current
+        # write's task tail — and locally collapses the ~fixed per-job
+        # latency that dominates small-delta commits. 3 in flight is the
+        # guide's "enough to fill the tail, not enough to fight" number;
+        # manifest assembly below stays sequential and the commit is
+        # published only after every write returned.
+        writes: list[tuple[tuple[str, str], DataFrame, str]] = []
+        for name, df in (tables or {}).items():
+            writes.append((("table", name), df, self._table_dir(snap, name)))
+        for name, df in (appends or {}).items():
+            writes.append(
+                (
+                    ("append", name),
+                    df,
+                    os.path.join(self._table_dir(snap, name), "add"),
+                )
+            )
+        for name, spec in (mor or {}).items():
+            if spec.get("add") is not None:
+                writes.append(
+                    (
+                        ("mor_add", name),
+                        spec["add"],
+                        os.path.join(self._table_dir(snap, name), "add"),
+                    )
+                )
+            if spec.get("delete") is not None:
+                writes.append(
+                    (
+                        ("mor_delete", name),
+                        spec["delete"],
+                        os.path.join(self._table_dir(snap, name), "delete"),
+                    )
+                )
+        for name, spec in (upserts or {}).items():
+            writes.append(
+                (
+                    ("upsert", name),
+                    spec["df"],
+                    os.path.join(self._table_dir(snap, name), "upsert"),
+                )
+            )
+        if len(writes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(3, len(writes))) as pool:
+                done = list(pool.map(lambda w: self._write(w[1], w[2]), writes))
+            written = {k: r for (k, _, _), r in zip(writes, done)}
+        else:
+            written = {k: self._write(df, p) for k, df, p in writes}
+
         for name, df in (tables or {}).items():
             path = self._table_dir(snap, name)
-            lineage, rows = self._write(df, path)
+            lineage, rows = written[("table", name)]
             snap_meta["tables"][name] = {
                 "path": path,
                 "lineage": lineage,
@@ -330,7 +385,7 @@ class SnapshotStore:
             prev = self._meta(name, prev_snap)
             segs, _ = self._as_segments(prev)
             path = os.path.join(self._table_dir(snap, name), "add")
-            lineage, n_delta = self._write(df, path)
+            lineage, n_delta = written[("append", name)]
             # an empty delta adds no segment (no read-side cost) — unless it
             # is the only segment, which read() needs for the schema
             if n_delta or not segs:
@@ -361,7 +416,7 @@ class SnapshotStore:
             add = spec.get("add")
             if add is not None:
                 path = os.path.join(self._table_dir(snap, name), "add")
-                lin, n_add = self._write(add, path)
+                lin, n_add = written[("mor_add", name)]
                 lineage += lin
                 if n_add or not segs:
                     segs.append(
@@ -378,7 +433,7 @@ class SnapshotStore:
             delete = spec.get("delete")
             if delete is not None:
                 path = os.path.join(self._table_dir(snap, name), "delete")
-                lin, n_del = self._write(delete, path)
+                lin, n_del = written[("mor_delete", name)]
                 lineage += lin
                 if n_del:
                     dsegs.append(
@@ -405,7 +460,7 @@ class SnapshotStore:
             prev = self._meta(name, prev_snap)
             segs, _ = self._as_segments(prev)
             path = os.path.join(self._table_dir(snap, name), "upsert")
-            lineage, n_delta = self._write(spec["df"], path)
+            lineage, n_delta = written[("upsert", name)]
             if n_delta or not segs:  # keep one segment for the schema
                 segs.append(
                     {
