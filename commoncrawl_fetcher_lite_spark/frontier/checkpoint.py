@@ -362,6 +362,12 @@ class SnapshotStore:
                     os.path.join(self._table_dir(snap, name), "upsert"),
                 )
             )
+        paths = [p for _, _, p in writes]
+        if len(set(paths)) != len(paths):
+            # e.g. the same table passed to both appends= and mor= would
+            # target one "add" dir from two writers — wrong sequentially
+            # (second write clobbers the first) and a race concurrently
+            raise ValueError("commit: duplicate write path in one commit")
         if len(writes) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
